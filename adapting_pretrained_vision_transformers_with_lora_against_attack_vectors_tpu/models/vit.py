@@ -1,0 +1,179 @@
+"""Functional Vision Transformer (ViT) — the framework's flagship backbone.
+
+Capability parity with the reference's HF ``ViTForImageClassification``
+(``google/vit-base-patch16-224``) factory (reference ``Utils.py:84-90``), but
+designed TPU-first rather than translated:
+
+* **Pure function over a param pytree.** ``init`` builds nested dicts of
+  arrays; ``apply`` is jit/vmap/grad-transparent. LoRA adapters attach as
+  extra leaves (see ``ops/lora.py``) — no module surgery.
+* **Stacked blocks + ``lax.scan``.** All encoder blocks' params are stacked on
+  a leading layer axis and the encoder is one ``scan``, so compile time is
+  O(1) in depth and XLA pipelines the layer loop.
+* **Patch embedding as a matmul.** The stride-16 conv is algebraically a
+  reshape + dense; expressing it that way feeds the MXU directly.
+* **bfloat16 compute / float32 params + accumulation** by default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nn import attention, dense, dense_init, gelu, layer_norm, layer_norm_init
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Static (hashable) architecture description."""
+
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    num_classes: int = 21
+    layer_norm_eps: float = 1e-12  # HF ViT default
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    remat: bool = False  # rematerialize each block on the backward pass
+
+    @property
+    def num_patches(self) -> int:
+        side, p = divmod(self.image_size, self.patch_size)
+        if p:
+            raise ValueError("image_size must be divisible by patch_size")
+        return side * side
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # CLS token
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    def with_classes(self, num_classes: int) -> "ViTConfig":
+        return dataclasses.replace(self, num_classes=num_classes)
+
+
+VIT_B16 = ViTConfig()
+VIT_TINY = ViTConfig(hidden_dim=192, depth=12, num_heads=3, mlp_dim=768)
+# Miniature config for unit tests / CI: 2 layers, 32px inputs, CPU-fast.
+# float32 compute: CPU has no native bf16 and parity tests want tight tolerances.
+VIT_TEST = ViTConfig(image_size=32, patch_size=8, hidden_dim=64, depth=2,
+                     num_heads=2, mlp_dim=128, num_classes=10,
+                     compute_dtype="float32")
+
+
+def _block_init(rng: jax.Array, cfg: ViTConfig, dtype) -> dict:
+    rngs = jax.random.split(rng, 6)
+    d, m = cfg.hidden_dim, cfg.mlp_dim
+    return {
+        "ln1": layer_norm_init(d, dtype=dtype),
+        "attn": {
+            "q": dense_init(rngs[0], d, d, dtype=dtype),
+            "k": dense_init(rngs[1], d, d, dtype=dtype),
+            "v": dense_init(rngs[2], d, d, dtype=dtype),
+            "o": dense_init(rngs[3], d, d, dtype=dtype),
+        },
+        "ln2": layer_norm_init(d, dtype=dtype),
+        "mlp": {
+            "fc1": dense_init(rngs[4], d, m, dtype=dtype),
+            "fc2": dense_init(rngs[5], m, d, dtype=dtype),
+        },
+    }
+
+
+def init(rng: jax.Array, cfg: ViTConfig) -> dict:
+    """Initialise a full parameter pytree (blocks stacked on axis 0)."""
+    dtype = jnp.dtype(cfg.param_dtype)
+    r_embed, r_blocks, r_head = jax.random.split(rng, 3)
+    d = cfg.hidden_dim
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+
+    block_rngs = jax.random.split(r_blocks, cfg.depth)
+    blocks = jax.vmap(lambda r: _block_init(r, cfg, dtype))(block_rngs)
+
+    return {
+        "embed": {
+            "proj": dense_init(r_embed, patch_dim, d, dtype=dtype),
+            "cls": jnp.zeros((1, 1, d), dtype),
+            "pos": jax.random.normal(jax.random.fold_in(r_embed, 1),
+                                     (1, cfg.seq_len, d), dtype) * 0.02,
+        },
+        "blocks": blocks,
+        "final_ln": layer_norm_init(d, dtype=dtype),
+        "head": dense_init(r_head, d, cfg.num_classes, dtype=dtype),
+    }
+
+
+def _patchify(cfg: ViTConfig, images: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, N, P*P*C), row-major patch pixels, channel last."""
+    b, h, w, c = images.shape
+    p = cfg.patch_size
+    x = images.reshape(b, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, p, p, c)
+    return x.reshape(b, (h // p) * (w // p), p * p * c)
+
+
+def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
+    """Pre-LN transformer block: x + MHA(LN(x)), then x + MLP(LN(x))."""
+    b, n, d = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+    cd = x.dtype
+
+    h = layer_norm(bp["ln1"], x, eps=eps)
+    q = dense(bp["attn"]["q"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+    k = dense(bp["attn"]["k"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+    v = dense(bp["attn"]["v"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+    attn_out = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+    x = x + dense(bp["attn"]["o"], attn_out, compute_dtype=cd)
+
+    h = layer_norm(bp["ln2"], x, eps=eps)
+    h = gelu(dense(bp["mlp"]["fc1"], h, compute_dtype=cd))
+    x = x + dense(bp["mlp"]["fc2"], h, compute_dtype=cd)
+    return x
+
+
+def features(cfg: ViTConfig, params: dict, images: jax.Array) -> jax.Array:
+    """Images (B, H, W, 3), normalized floats -> final-LN token features (B, N+1, D)."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    x = _patchify(cfg, images.astype(cd))
+    x = dense(params["embed"]["proj"], x, compute_dtype=cd)
+    cls = jnp.broadcast_to(params["embed"]["cls"].astype(cd), (x.shape[0], 1, cfg.hidden_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["embed"]["pos"].astype(cd)
+
+    block_fn = lambda carry, bp: (_encoder_block(cfg, bp, carry), None)
+    if cfg.remat:
+        block_fn = jax.checkpoint(block_fn, prevent_cse=False)
+    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    return layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
+
+
+def apply(cfg: ViTConfig, params: dict, images: jax.Array) -> jax.Array:
+    """Forward pass to classification logits (float32, CLS-token head)."""
+    toks = features(cfg, params, images)
+    logits = dense(params["head"], toks[:, 0], compute_dtype=toks.dtype,
+                   accum_dtype=jnp.float32)
+    return logits.astype(jnp.float32)
+
+
+# LoRA target subtrees, addressed relative to the param root. Because blocks
+# are stacked, one target path covers every layer at once (factors get a
+# leading depth axis). These mirror the reference's PEFT targets
+# query/key/value/output.dense (reference train_loras.py:79-95).
+LORA_TARGETS_DEFAULT = ("blocks/attn/q", "blocks/attn/k", "blocks/attn/v", "blocks/attn/o")
+
+
+def lora_target_paths(targets: tuple[str, ...] = ("q", "k", "v", "o")) -> tuple[str, ...]:
+    mapping = {"q": "blocks/attn/q", "k": "blocks/attn/k", "v": "blocks/attn/v",
+               "o": "blocks/attn/o", "fc1": "blocks/mlp/fc1", "fc2": "blocks/mlp/fc2",
+               "head": "head"}
+    return tuple(mapping[t] for t in targets)

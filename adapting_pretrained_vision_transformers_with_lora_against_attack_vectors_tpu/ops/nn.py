@@ -1,0 +1,89 @@
+"""Primitive neural-net ops over plain param dicts.
+
+Every model in ``models/`` is a pure function over nested dicts built from
+these primitives. The central design point is :func:`dense`: a linear layer's
+param dict may *optionally* carry low-rank adapter factors (``lora_a``,
+``lora_b``, ``lora_s``) injected by :mod:`..ops.lora`. When present, the layer
+computes ``x @ W + s * (x @ A) @ B`` — the unmerged LoRA path — so adapter
+support is uniform across all backbones without any model knowing about LoRA.
+
+All matmuls run in a configurable compute dtype (bfloat16 on TPU so they tile
+onto the MXU) with float32 accumulation via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Mapping[str, Any]
+
+
+def dense_init(rng: jax.Array, in_dim: int, out_dim: int, *, dtype=jnp.float32,
+               stddev: Optional[float] = None) -> dict:
+    """Truncated-normal kernel (LeCun-ish) + zero bias, stored as ``(in, out)``."""
+    if stddev is None:
+        stddev = (1.0 / in_dim) ** 0.5
+    w = jax.random.truncated_normal(rng, -2.0, 2.0, (in_dim, out_dim), dtype) * stddev
+    return {"w": w, "b": jnp.zeros((out_dim,), dtype)}
+
+
+def dense(p: Params, x: jax.Array, *, compute_dtype=None, accum_dtype=jnp.float32) -> jax.Array:
+    """Linear layer ``x @ W + b`` with the optional unmerged-LoRA branch.
+
+    ``x``: ``(..., in_dim)``. Param dict keys:
+      * ``w``: ``(in_dim, out_dim)``, ``b``: ``(out_dim,)`` (optional)
+      * ``lora_a``: ``(in_dim, r)``, ``lora_b``: ``(r, out_dim)``,
+        ``lora_s``: scalar ``alpha / r`` — optional, see ``ops/lora.py``.
+    """
+    w = p["w"]
+    cd = compute_dtype or x.dtype
+    y = jnp.dot(x.astype(cd), w.astype(cd), preferred_element_type=accum_dtype)
+    if "lora_a" in p:
+        a = p["lora_a"].astype(cd)
+        b = p["lora_b"].astype(cd)
+        xa = jnp.dot(x.astype(cd), a, preferred_element_type=accum_dtype)
+        y = y + p["lora_s"].astype(accum_dtype) * jnp.dot(
+            xa.astype(cd), b, preferred_element_type=accum_dtype
+        )
+    if "b" in p:
+        y = y + p["b"].astype(accum_dtype)
+    return y.astype(cd)
+
+
+def layer_norm_init(dim: int, *, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p: Params, x: jax.Array, *, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm in float32 for numerical stability, cast back to input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — matches the reference backbones' torch ``nn.GELU``."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
+    """Multi-head scaled dot-product attention.
+
+    ``q, k, v``: ``(batch, heads, seq, head_dim)``. Softmax runs in float32.
+    Sequence length for the 224px backbones is tiny (<=197 tokens), so the
+    full ``(seq, seq)`` score matrix is the right TPU strategy — no flash /
+    blockwise machinery needed (SURVEY.md §5 long-context entry).
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=accum_dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                     preferred_element_type=accum_dtype)
+    return out.astype(q.dtype)
