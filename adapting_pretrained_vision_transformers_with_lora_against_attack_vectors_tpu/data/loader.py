@@ -1,0 +1,153 @@
+"""Metadata-driven dataset index + double-buffered batch loader.
+
+Replaces the reference's ``TrafficSignDataset`` + torch ``DataLoader``
+(Utils.py:12-82, train.py:206-213) with a TPU-oriented pipeline:
+
+* :class:`MetadataIndex` — resolves image paths (same 3-way fallback as the
+  reference), encodes labels through the **immutable** `LabelVocabulary`
+  (fixing the reference's per-split remapping bug, Utils.py:61-65 /
+  SURVEY.md §2.4 item 2).
+* :class:`Loader` — threads decode PIL images to a fixed static shape,
+  assembles padded uint8 batches (``valid`` mask keeps shapes static for
+  XLA), and prefetches ahead of the consumer so device compute overlaps
+  host decode. Images cross to the device as uint8; conversion to [0,1]
+  floats and normalization happen on device.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from ..utils.vocab import LabelVocabulary
+from .io import filter_metadata, read_metadata, resolve_image_path
+from .transforms import eval_transform_pil
+
+
+@dataclass
+class Batch:
+    images: np.ndarray  # (B, H, W, 3) uint8
+    labels: np.ndarray  # (B,) int32
+    valid: np.ndarray  # (B,) float32, 0 for padding
+    filenames: list[str]
+
+    def images_f32(self) -> np.ndarray:
+        return self.images.astype(np.float32) / 255.0
+
+
+class MetadataIndex:
+    """Sample index over one ``metadata.csv`` (optionally source-filtered)."""
+
+    def __init__(self, metadata: str | pd.DataFrame, vocab: LabelVocabulary, *,
+                 root_dir: str = ".", sources: Optional[Sequence[str]] = None,
+                 strict: bool = False):
+        df = read_metadata(metadata) if isinstance(metadata, str) else metadata
+        meta_dir = os.path.dirname(os.path.abspath(metadata)) if isinstance(metadata, str) else root_dir
+        df = filter_metadata(df, sources)
+
+        self.vocab = vocab
+        self.root_dir = root_dir
+        paths, labels, filenames, missing = [], [], [], 0
+        for row in df.itertuples():
+            resolved = resolve_image_path(str(row.image_path), meta_dir, root_dir)
+            if resolved is None:
+                if strict:
+                    raise FileNotFoundError(row.image_path)
+                missing += 1
+                continue
+            paths.append(resolved)
+            labels.append(vocab.index_of(str(row.unified_class)))
+            filenames.append(os.path.basename(resolved))
+        if missing:
+            print(f"MetadataIndex: skipped {missing} rows with missing images")
+        self.paths = paths
+        self.labels = np.asarray(labels, np.int32)
+        self.filenames = filenames
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+
+class Loader:
+    """Batched iterator with threaded decode + background prefetch."""
+
+    def __init__(self, index: MetadataIndex, *, batch_size: int,
+                 image_size: int = 224, resize: int = 256,
+                 shuffle: bool = False, seed: int = 0,
+                 drop_remainder: bool = False, pad_final: bool = True,
+                 num_workers: int = 8, prefetch: int = 2):
+        self.index = index
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.resize = resize
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.pad_final = pad_final
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n, b = len(self.index), self.batch_size
+        return n // b if self.drop_remainder else (n + b - 1) // b
+
+    def _decode(self, i: int) -> np.ndarray:
+        with Image.open(self.index.paths[i]) as img:
+            return eval_transform_pil(img, resize=self.resize, crop=self.image_size)
+
+    def _order(self) -> np.ndarray:
+        order = np.arange(len(self.index))
+        if self.shuffle:
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = self._order()
+        self._epoch += 1
+        b = self.batch_size
+        n_batches = len(self)
+
+        def make_batch(pool: ThreadPoolExecutor, k: int) -> Batch:
+            idxs = order[k * b:(k + 1) * b]
+            imgs = list(pool.map(self._decode, idxs))
+            pad = b - len(idxs) if self.pad_final else 0
+            if pad:
+                imgs.extend([np.zeros_like(imgs[0])] * pad)
+            images = np.stack(imgs)
+            labels = np.concatenate([self.index.labels[idxs],
+                                     np.zeros(pad, np.int32)])
+            valid = np.concatenate([np.ones(len(idxs), np.float32),
+                                    np.zeros(pad, np.float32)])
+            names = [self.index.filenames[i] for i in idxs]
+            return Batch(images, labels, valid, names)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for k in range(n_batches):
+                    if stop.is_set():
+                        return
+                    q.put(make_batch(pool, k))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

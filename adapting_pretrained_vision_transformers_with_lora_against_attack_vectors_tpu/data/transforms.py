@@ -1,0 +1,41 @@
+"""Host-side deterministic preprocessing (decode path).
+
+The split of work is deliberate: the host does only decode + resize/crop to a
+*static* shape and ships uint8; everything stochastic or fusible (normalize,
+augmentations, patch composites) happens on device inside the jitted step
+(see ``ops/image.py``). That keeps H2D traffic at 1 byte/pixel and lets XLA
+fuse normalization into the first matmul.
+
+``eval_transform_pil`` matches the reference's torchvision eval pipeline
+``Resize(256) -> CenterCrop(224)`` (train.py:137-142, bilinear on PIL
+images) so accuracy parity holds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+
+def resize_shorter(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    if w <= h:
+        new_w, new_h = size, max(1, round(h * size / w))
+    else:
+        new_w, new_h = max(1, round(w * size / h)), size
+    return img.resize((new_w, new_h), Image.BILINEAR)
+
+
+def center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
+    return img.crop((left, top, left + size, top + size))
+
+
+def eval_transform_pil(img: Image.Image, *, resize: int = 256, crop: int = 224) -> np.ndarray:
+    """PIL RGB image -> uint8 HWC array, torchvision-eval-pipeline parity."""
+    img = img.convert("RGB")
+    if img.size != (crop, crop):
+        img = center_crop(resize_shorter(img, resize), crop)
+    return np.asarray(img, np.uint8)

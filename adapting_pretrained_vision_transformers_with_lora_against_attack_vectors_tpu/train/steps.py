@@ -1,0 +1,112 @@
+"""Jitted train/eval steps — the framework's hot loops.
+
+Replaces the reference's per-batch Python train loop (train.py:25-53: H2D
+copy, forward, backward, ``.item()`` metric sync every batch) with:
+
+* one compiled ``train_step`` with **donated** state (no buffer churn),
+* **on-device metric accumulation** (loss sum / correct count / confusion
+  matrix) — metrics cross to host once per epoch, not once per batch,
+* a ``valid`` mask so padded final batches keep shapes static (XLA traces
+  one program per shape),
+* batch axes sharded over the data mesh: under jit the same step is the
+  SPMD multi-chip program; gradient reduction is XLA's inserted ``psum``.
+
+The same factories serve full fine-tuning (trainable = whole param tree,
+reference train.py) and LoRA-adapter training (trainable = adapter pytree,
+frozen base closed over via ``ops.lora.attach``, reference
+train_loras.py:284-351) — "what is trainable" is just "what is in
+``state.params``".
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..attacks.common import IMAGENET, Normalizer
+
+
+class TrainState(NamedTuple):
+    """Pytree of everything a step mutates (donate-friendly)."""
+
+    params: Any  # trainable pytree (full model params OR a LoRA adapter)
+    opt_state: Any
+    step: jax.Array
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    forward: Callable[[Any, jax.Array], jax.Array],
+    tx: optax.GradientTransformation,
+    *,
+    normalize: Optional[Normalizer] = IMAGENET,
+) -> Callable:
+    """Build the jitted ``(state, images, labels, valid) -> (state, metrics)``.
+
+    ``forward(trainable, normalized_images) -> logits``. For base training
+    pass ``lambda p, x: entry.apply(cfg, p, x)``; for LoRA training pass a
+    closure that attaches the adapter to frozen base params.
+
+    ``valid``: float mask (B,) — 1 for real samples, 0 for padding.
+    Metrics are *sums* (loss_sum, correct, count) so they accumulate across
+    batches and reduce exactly.
+    """
+
+    def loss_fn(trainable, images, labels, valid):
+        x = normalize(images) if normalize is not None else images
+        logits = forward(trainable, x)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        loss = (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+        preds = jnp.argmax(logits, axis=-1)
+        correct = ((preds == labels) * valid).sum()
+        return loss, correct
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images, labels, valid):
+        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, labels, valid)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        metrics = {
+            "loss_sum": loss * valid.sum(),
+            "correct": correct,
+            "count": valid.sum(),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    forward: Callable[[Any, jax.Array], jax.Array],
+    num_classes: int,
+    *,
+    normalize: Optional[Normalizer] = IMAGENET,
+) -> Callable:
+    """Jitted ``(params, images, labels, valid) -> (loss_sum, confusion)``.
+
+    The confusion matrix (C×C, accumulated on device) carries everything the
+    reference computes via sklearn on host-gathered predictions
+    (train.py:85-110: accuracy + weighted F1) — see
+    ``train.metrics.confusion_matrix_metrics``.
+    """
+
+    @jax.jit
+    def eval_step(params, images, labels, valid):
+        x = normalize(images) if normalize is not None else images
+        logits = forward(params, x)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        preds = jnp.argmax(logits, axis=-1)
+        conf = jnp.zeros((num_classes, num_classes), jnp.float32)
+        conf = conf.at[labels, preds].add(valid)
+        return (ce * valid).sum(), conf
+
+    return eval_step

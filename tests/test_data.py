@@ -1,0 +1,88 @@
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from apvt_lora.data import (Loader, MetadataIndex, create_adv_metadata,
+                            read_metadata, save_images)
+from apvt_lora.data.synthetic import make_synthetic_dataset
+from apvt_lora.data.transforms import eval_transform_pil
+from apvt_lora.utils.vocab import LabelVocabulary
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    frames = make_synthetic_dataset(root, n_per_class=4, image_size=32)
+    return root, frames
+
+
+def test_synthetic_contract(dataset):
+    root, frames = dataset
+    for split in ("train", "val", "test"):
+        meta = read_metadata(os.path.join(root, split, "metadata.csv"))
+        assert list(meta.columns) == ["image_path", "source", "original_class",
+                                      "unified_class"]
+        assert len(meta) == 5 * 4
+        first = os.path.join(root, split, meta.iloc[0]["image_path"])
+        assert os.path.exists(first)
+
+
+def test_loader_batches_and_padding(dataset):
+    root, _ = dataset
+    vocab = LabelVocabulary.load_or_build = None  # noqa - clarity below
+    meta_path = os.path.join(root, "train", "metadata.csv")
+    vocab = LabelVocabulary.from_metadata_frames([read_metadata(meta_path)])
+    index = MetadataIndex(meta_path, vocab, root_dir=os.path.join(root, "train"))
+    assert len(index) == 20
+
+    loader = Loader(index, batch_size=8, image_size=32, resize=36)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0].images.shape == (8, 32, 32, 3)
+    assert batches[0].images.dtype == np.uint8
+    # final batch padded: 20 = 8+8+4
+    assert batches[2].valid.tolist() == [1, 1, 1, 1, 0, 0, 0, 0]
+    assert len(batches[2].filenames) == 4
+    labels = np.concatenate([b.labels[b.valid > 0] for b in batches])
+    assert sorted(np.bincount(labels).tolist()) == [4, 4, 4, 4, 4]
+
+
+def test_loader_shuffle_deterministic(dataset):
+    root, _ = dataset
+    meta_path = os.path.join(root, "train", "metadata.csv")
+    vocab = LabelVocabulary.from_metadata_frames([read_metadata(meta_path)])
+    index = MetadataIndex(meta_path, vocab, root_dir=os.path.join(root, "train"))
+    l1 = Loader(index, batch_size=20, image_size=32, shuffle=True, seed=3)
+    l2 = Loader(index, batch_size=20, image_size=32, shuffle=True, seed=3)
+    b1, b2 = next(iter(l1)), next(iter(l2))
+    assert b1.filenames == b2.filenames
+    b1b = next(iter(l1))  # second epoch reshuffles
+    assert b1b.filenames != b1.filenames
+
+
+def test_save_images_roundtrip(tmp_path):
+    imgs = np.random.default_rng(0).random((3, 16, 16, 3)).astype(np.float32)
+    names = [f"x_{i}.png" for i in range(3)]
+    save_images(imgs, names, str(tmp_path))
+    for i, n in enumerate(names):
+        arr = np.asarray(Image.open(tmp_path / n))
+        np.testing.assert_array_equal(arr, (imgs[i] * 255).astype(np.uint8))
+
+
+def test_create_adv_metadata(dataset, tmp_path):
+    root, frames = dataset
+    meta_path = os.path.join(root, "test", "metadata.csv")
+    df = read_metadata(meta_path)
+    chosen = [os.path.basename(p) for p in df["image_path"][:3]]
+    adv = create_adv_metadata(meta_path, chosen, "/adv/pgd/images")
+    assert len(adv) == 3
+    assert all(p.startswith("/adv/pgd/images/") for p in adv["image_path"])
+    assert list(adv.columns) == list(df.columns)
+
+
+def test_eval_transform_nonsquare():
+    img = Image.fromarray(np.zeros((100, 60, 3), np.uint8))
+    out = eval_transform_pil(img, resize=64, crop=48)
+    assert out.shape == (48, 48, 3)

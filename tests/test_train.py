@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from apvt_lora.models import vit
+from apvt_lora.ops import lora
+from apvt_lora.train import (TrainState, confusion_matrix_metrics, lora_adam,
+                             make_eval_step, make_train_step)
+from apvt_lora.train.optim import steplr_schedule
+
+
+@pytest.fixture(scope="module")
+def problem():
+    cfg = vit.VIT_TEST
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (8, cfg.image_size, cfg.image_size, 3))
+    y = jnp.arange(8) % cfg.num_classes
+    valid = jnp.ones(8, jnp.float32)
+    return cfg, params, x, y, valid
+
+
+def test_full_finetune_overfits_batch(problem):
+    cfg, params, x, y, valid = problem
+    tx = optax.adam(3e-3)
+    forward = lambda p, imgs: vit.apply(cfg, p, imgs)
+    step = make_train_step(forward, tx, normalize=None)
+    # train_step donates its state, so hand it a copy of the shared fixture
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    first = None
+    for _ in range(30):
+        state, m = step(state, x, y, valid)
+        if first is None:
+            first = float(m["loss_sum"] / m["count"])
+    last = float(m["loss_sum"] / m["count"])
+    assert last < first * 0.5, (first, last)
+    assert int(state.step) == 30
+
+
+def test_lora_training_decreases_loss_base_frozen(problem):
+    cfg, params, x, y, valid = problem
+    lcfg = lora.LoRAConfig(rank=4, alpha=16.0, targets=vit.LORA_TARGETS_DEFAULT)
+    adapter = lora.init(jax.random.key(2), params, lcfg)
+    tx = lora_adam(5e-3)
+    forward = lambda ad, imgs: vit.apply(cfg, lora.attach(params, ad, lcfg), imgs)
+    step = make_train_step(forward, tx, normalize=None)
+    state = TrainState.create(adapter, tx)
+    losses = []
+    for _ in range(25):
+        state, m = step(state, x, y, valid)
+        losses.append(float(m["loss_sum"] / m["count"]))
+    assert losses[-1] < losses[0] * 0.8, losses[::6]
+    # trainable tree is exactly the adapter => base params untouched by construction
+    assert set(state.params.keys()) == set(adapter.keys())
+
+
+def test_padding_mask_excluded(problem):
+    cfg, params, x, y, _ = problem
+    tx = optax.sgd(0.0)
+    forward = lambda p, imgs: vit.apply(cfg, p, imgs)
+    step = make_train_step(forward, tx, normalize=None)
+    valid = jnp.array([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32)
+    fresh = lambda: TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    _, m = step(fresh(), x, y, valid)
+    assert float(m["count"]) == 4.0
+    # metrics identical if the padded images are garbage
+    x_bad = x.at[4:].set(0.73)
+    _, m2 = step(fresh(), x_bad, y, valid)
+    np.testing.assert_allclose(float(m["loss_sum"]), float(m2["loss_sum"]), rtol=1e-5)
+
+
+def test_eval_confusion_matches_sklearn(problem):
+    from sklearn.metrics import accuracy_score, f1_score
+
+    cfg, params, x, y, valid = problem
+    forward = lambda p, imgs: vit.apply(cfg, p, imgs)
+    eval_step = make_eval_step(forward, cfg.num_classes, normalize=None)
+    _, conf = eval_step(params, x, y, valid)
+    preds = np.argmax(np.asarray(vit.apply(cfg, params, x)), axis=-1)
+    m = confusion_matrix_metrics(conf)
+    assert m["accuracy"] == pytest.approx(accuracy_score(np.asarray(y), preds))
+    assert m["f1"] == pytest.approx(
+        f1_score(np.asarray(y), preds, average="weighted", zero_division=0), abs=1e-6)
+
+
+def test_steplr_schedule():
+    sched = steplr_schedule(1e-4, step_size_epochs=20, gamma=0.1, steps_per_epoch=10)
+    assert float(sched(jnp.asarray(0))) == pytest.approx(1e-4)
+    assert float(sched(jnp.asarray(199))) == pytest.approx(1e-4)  # epoch 19
+    assert float(sched(jnp.asarray(200))) == pytest.approx(1e-5)  # epoch 20
+    assert float(sched(jnp.asarray(405))) == pytest.approx(1e-6)  # epoch 40
