@@ -1,0 +1,127 @@
+"""Atomic pytree checkpointing (safetensors + JSON sidecar).
+
+The reference persists weights as pickle ``torch.save(state_dict)`` files
+(train.py:249-261) and PEFT directories (train_loras.py:342-355), with no
+resume support and non-atomic writes. Here:
+
+* Param/adapter/optimizer pytrees serialize as **flat path->tensor
+  safetensors** files — zero-copy mmap reads, no pickle execution risk,
+  language-neutral.
+* Writes are **atomic** (write to a temp file in the same directory, then
+  ``os.replace``) so a killed sweep never leaves a half-written checkpoint
+  (SURVEY.md §5 checkpoint/resume row).
+* A JSON sidecar carries non-array metadata (step, config, vocabulary, ...).
+* :func:`save_train_state` / :func:`load_train_state` round-trip the full
+  :class:`train.steps.TrainState` including optimizer state — adding the
+  resume capability the reference lacks.
+
+bfloat16 note: safetensors-numpy cannot represent bf16, so bf16 leaves are
+bit-cast to uint16 and tagged in the sidecar for exact round-tripping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from safetensors.numpy import load_file, save_file
+
+from . import trees
+
+_SIDECAR = "meta.json"
+_BF16_TAG = "__bf16__"
+
+
+def _to_numpy_flat(tree) -> tuple[dict[str, np.ndarray], list[str]]:
+    flat = trees.flatten_with_paths(tree)
+    out, bf16_paths = {}, []
+    for path, leaf in flat.items():
+        arr = np.asarray(jax.device_get(leaf))
+        if arr.dtype == jax.numpy.bfloat16:
+            bf16_paths.append(path)
+            arr = arr.view(np.uint16)
+        out[path] = arr
+    return out, bf16_paths
+
+
+def _atomic_save_file(tensors: dict[str, np.ndarray], path: str) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    try:
+        save_file(tensors, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def save_pytree(tree, path: str, *, meta: Optional[dict] = None) -> None:
+    """Save a pytree of arrays to ``path`` (.safetensors) atomically.
+
+    ``meta`` (JSON-serializable) lands in ``<path>.json``.
+    """
+    tensors, bf16_paths = _to_numpy_flat(tree)
+    _atomic_save_file(tensors, path)
+    sidecar = dict(meta or {})
+    if bf16_paths:
+        sidecar[_BF16_TAG] = bf16_paths
+    if sidecar:
+        _atomic_write_json(sidecar, path + ".json")
+
+
+def _atomic_write_json(obj: dict, path: str) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=2, default=str)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_pytree(path: str) -> tuple[Any, dict]:
+    """Load ``(tree, meta)`` saved by :func:`save_pytree`."""
+    tensors = load_file(path)
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    for p in meta.pop(_BF16_TAG, []):
+        tensors[p] = tensors[p].view(jax.numpy.bfloat16)
+    return trees.unflatten_from_paths(tensors), meta
+
+
+def save_train_state(state, path_prefix: str, *, meta: Optional[dict] = None) -> None:
+    """Persist a ``TrainState`` as ``{prefix}.params.safetensors`` +
+    ``{prefix}.opt.safetensors`` (+ sidecars) for exact resume."""
+    m = dict(meta or {})
+    m["step"] = int(jax.device_get(state.step))
+    save_pytree(state.params, path_prefix + ".params.safetensors", meta=m)
+    save_pytree({"opt": state.opt_state}, path_prefix + ".opt.safetensors")
+
+
+def load_train_state(path_prefix: str, tx, *, state_cls) -> tuple[Any, dict]:
+    """Rebuild a ``TrainState`` (params + optimizer state + step)."""
+    import jax.numpy as jnp
+
+    params, meta = load_pytree(path_prefix + ".params.safetensors")
+    opt_path = path_prefix + ".opt.safetensors"
+    if os.path.exists(opt_path):
+        raw, _ = load_pytree(opt_path)
+        template = tx.init(params)
+        leaves = jax.tree.leaves(raw["opt"])
+        treedef = jax.tree.structure(template)
+        opt_state = jax.tree.unflatten(treedef, leaves)
+    else:
+        opt_state = tx.init(params)
+    step = jnp.asarray(meta.get("step", 0), jnp.int32)
+    return state_cls(params=params, opt_state=opt_state, step=step), meta

@@ -1,0 +1,161 @@
+"""Interop tests: HF ViT weight import parity, PEFT adapter round-trip,
+checkpoint save/load. These are the golden-parity tests SURVEY.md §4 calls
+for — the torch reference implementation is the fixture."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import hf_import, vit
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora, peft_io
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import optim, steps
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import checkpoint
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+# Small HF-compatible geometry so the torch fixture builds fast on CPU.
+HF_CFG = dict(image_size=32, patch_size=8, hidden_size=64, num_hidden_layers=2,
+              num_attention_heads=2, intermediate_size=128, num_labels=5)
+OUR_CFG = vit.ViTConfig(image_size=32, patch_size=8, hidden_dim=64, depth=2,
+                        num_heads=2, mlp_dim=128, num_classes=5,
+                        compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(0)
+    config = transformers.ViTConfig(**HF_CFG)
+    model = transformers.ViTForImageClassification(config)
+    model.eval()
+    return model
+
+
+def test_hf_import_forward_parity(hf_model):
+    """Converted weights must reproduce the torch forward to float32 noise."""
+    params = hf_import.vit_params_from_hf(hf_model.state_dict(), OUR_CFG)
+
+    rng = np.random.default_rng(0)
+    images = rng.random((3, 32, 32, 3), np.float32)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(images.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(vit.apply(OUR_CFG, params, jnp.asarray(images)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_hf_export_round_trip(hf_model):
+    params = hf_import.vit_params_from_hf(hf_model.state_dict(), OUR_CFG)
+    sd = hf_import.hf_from_vit_params(params, OUR_CFG)
+    ref_sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    assert set(sd) == set(ref_sd)
+    for k in ref_sd:
+        np.testing.assert_allclose(sd[k], ref_sd[k], atol=1e-6, err_msg=k)
+
+
+def test_reference_pth_checkpoint_loads(hf_model, tmp_path):
+    """torch.save(state_dict) pickles (reference train.py:251) load directly."""
+    path = str(tmp_path / "model_best_model_finetuned.pth")
+    torch.save(hf_model.state_dict(), path)
+    sd = hf_import.load_checkpoint_state_dict(path)
+    params = hf_import.vit_params_from_hf(sd, OUR_CFG)
+    out = vit.apply(OUR_CFG, params, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 5)
+
+
+def _make_adapter(rng_seed=0, targets=("blocks/attn/q", "blocks/attn/v")):
+    params = vit.init(jax.random.key(1), OUR_CFG)
+    cfg = lora.LoRAConfig(rank=4, alpha=16.0, targets=targets)
+    adapter = lora.init(jax.random.key(rng_seed), params, cfg)
+    # non-trivial B so deltas are nonzero
+    adapter = jax.tree.map(lambda x: x + 0.01, adapter)
+    return params, adapter, cfg
+
+
+def test_peft_round_trip(tmp_path):
+    params, adapter, cfg = _make_adapter()
+    peft_io.save_peft_adapter(adapter, cfg, str(tmp_path / "ad"))
+    loaded, loaded_cfg, head = peft_io.load_peft_adapter(str(tmp_path / "ad"))
+    assert head is None
+    assert loaded_cfg.rank == cfg.rank and loaded_cfg.alpha == cfg.alpha
+    for path in adapter:
+        np.testing.assert_allclose(np.asarray(adapter[path]["a"]),
+                                   loaded[path]["a"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(adapter[path]["b"]),
+                                   loaded[path]["b"], atol=1e-6)
+
+
+def test_peft_library_reads_our_adapters(hf_model, tmp_path):
+    """HF PEFT must accept adapters written by save_peft_adapter, and the
+    merged torch model must match our functional merge."""
+    import peft
+
+    params = hf_import.vit_params_from_hf(hf_model.state_dict(), OUR_CFG)
+    cfg = lora.LoRAConfig(rank=4, alpha=16.0,
+                          targets=("blocks/attn/q", "blocks/attn/v"))
+    adapter = lora.init(jax.random.key(3), params, cfg)
+    adapter = jax.tree.map(lambda x: jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.02, x.shape).astype(np.float32)), adapter)
+
+    out_dir = str(tmp_path / "peft_ad")
+    peft_io.save_peft_adapter(adapter, cfg, out_dir, head=params["head"])
+    peft_model = peft.PeftModel.from_pretrained(hf_model, out_dir)
+    merged_torch = peft_model.merge_and_unload()
+
+    merged_ours = lora.merge(params, adapter, cfg)
+    rng = np.random.default_rng(1)
+    images = rng.random((2, 32, 32, 3), np.float32)
+    with torch.no_grad():
+        ref = merged_torch(torch.from_numpy(images.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(vit.apply(OUR_CFG, merged_ours, jnp.asarray(images)))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_peft_suffix_targets_expansion():
+    paths = peft_io.peft_targets_to_paths(["query", "key", "value", "output.dense"])
+    assert paths == ("blocks/attn/q", "blocks/attn/k", "blocks/attn/v",
+                     "blocks/attn/o", "blocks/mlp/fc2")
+
+
+def test_checkpoint_round_trip(tmp_path):
+    params = vit.init(jax.random.key(0), OUR_CFG)
+    path = str(tmp_path / "ckpt.safetensors")
+    checkpoint.save_pytree(params, path, meta={"note": "x"})
+    loaded, meta = checkpoint.load_pytree(path)
+    assert meta["note"] == "x"
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(np.asarray(a), b),
+                 params, loaded)
+
+
+def test_checkpoint_bf16_round_trip(tmp_path):
+    tree = {"w": jnp.arange(8, dtype=jnp.bfloat16) * 0.5, "b": jnp.ones((3,))}
+    path = str(tmp_path / "bf16.safetensors")
+    checkpoint.save_pytree(tree, path)
+    loaded, _ = checkpoint.load_pytree(path)
+    assert loaded["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(tree["w"], np.float32),
+                                  np.asarray(loaded["w"], np.float32))
+
+
+def test_train_state_resume(tmp_path):
+    params = vit.init(jax.random.key(0), OUR_CFG)
+    tx = optim.lora_adam(1e-3)
+    state = steps.TrainState.create(params, tx)
+    train = steps.make_train_step(lambda p, x: vit.apply(OUR_CFG, p, x), tx,
+                                  normalize=None)
+    imgs = jnp.ones((4, 32, 32, 3)) * 0.5
+    labels = jnp.zeros((4,), jnp.int32)
+    valid = jnp.ones((4,))
+    state, _ = train(state, imgs, labels, valid)
+    state, _ = train(state, imgs, labels, valid)
+
+    prefix = str(tmp_path / "run1")
+    checkpoint.save_train_state(state, prefix)
+    restored, meta = checkpoint.load_train_state(prefix, tx,
+                                                 state_cls=steps.TrainState)
+    assert int(restored.step) == 2
+    s1, _ = train(state, imgs, labels, valid)
+    s2, _ = train(restored, imgs, labels, valid)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), s1.params, s2.params)
