@@ -1,0 +1,84 @@
+"""Adversarial-dataset generation driver.
+
+Reference capability: ``whitebox_attacks.py main`` (:51-182) — for each
+model × source × split, run each attack over the whole split and write
+``{adv_root}/{model}/{source}/{split}/{attack}/images/*.png`` +
+``metadata.csv``. Re-designed:
+
+* The attack itself is one jitted program per batch (``lax.scan`` over the
+  full budget); this driver only streams batches and persists outputs.
+* PNG encoding overlaps device compute: the device crunches batch ``k+1``
+  while the host thread-pool encodes batch ``k``.
+* uint8 quantization parity with the reference's writer (Utils.py:106-113)
+  via :func:`data.io.save_images`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..data import io as data_io
+from ..data.loader import Loader
+from .common import Normalizer
+
+
+def generate_adversarial_split(
+    attack_fn: Callable,
+    params,
+    loader: Loader,
+    *,
+    out_dir: str,
+    clean_metadata: pd.DataFrame,
+    rng: Optional[jax.Array] = None,
+    mesh=None,
+) -> pd.DataFrame:
+    """Run ``attack_fn(params, images, labels, rng) -> adv`` over a split.
+
+    Writes ``{out_dir}/images/*.png`` and ``{out_dir}/metadata.csv``; returns
+    the adversarial metadata frame (reference whitebox_attacks.py:115-179
+    per-split loop + Utils.create_adv_metadata semantics).
+    """
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = rng if rng is not None else jax.random.key(0)
+
+    all_names: list[str] = []
+    pending: Optional[tuple] = None  # (device adv array, valid, names)
+
+    def flush(adv, valid, names):
+        adv_np = np.asarray(jax.device_get(adv))
+        keep = [i for i, v in enumerate(valid) if v > 0]
+        data_io.save_images(adv_np[keep], [names[i] for i in keep], img_dir)
+        all_names.extend(names[i] for i in keep)
+
+    for k, batch in enumerate(loader):
+        images = batch.images.astype(np.float32) / 255.0
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            images, labels = pmesh.shard_batch(mesh, images, batch.labels)
+        else:
+            images = jax.device_put(images)
+            labels = jax.device_put(batch.labels)
+        adv = attack_fn(params, images, labels, jax.random.fold_in(rng, k))
+        if pending is not None:
+            flush(*pending)  # encode batch k-1 while the device runs batch k
+        pending = (adv, batch.valid, batch.filenames)
+    if pending is not None:
+        flush(*pending)
+
+    adv_meta = data_io.create_adv_metadata(clean_metadata, all_names, img_dir)
+    data_io.save_metadata(adv_meta, os.path.join(out_dir, "metadata.csv"))
+    return adv_meta
+
+
+def attack_output_dir(adv_root: str, model: str, source: str, split: str,
+                      attack: str) -> str:
+    """Reference directory contract
+    (whitebox_attacks.py:118-124): {adv_root}/{model}/{source}/{split}/{attack}."""
+    return os.path.join(adv_root, model, source, split, attack)

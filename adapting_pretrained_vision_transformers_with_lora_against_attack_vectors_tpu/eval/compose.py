@@ -1,0 +1,158 @@
+"""LoRA composability evaluation — the framework's top-level science harness.
+
+Capability parity with reference ``eval_compose.py``: evaluate the base
+model, each per-attack LoRA adapter, and every 2-way/3-way/all-way adapter
+combination on the clean test set plus every attack's adversarial test set,
+then emit a JSON results file and an aligned summary table
+(eval_compose.py:275-433, 485-512). Re-designed TPU-first:
+
+* Variant weights are built **functionally**: merging N adapters is one
+  pytree op summing ``ΔW = Σ sᵢ·AᵢBᵢ`` (``ops.lora.merge_many``), replacing
+  the reference's iterative ``PeftModel.from_pretrained`` +
+  ``merge_and_unload`` model surgery (eval_compose.py:102-114). Head
+  (classifier) semantics match PEFT: the last-merged adapter's saved
+  classifier wins.
+* One jitted eval step serves **every variant × dataset pair** — params are
+  arguments, so the sweep is |variants|·|datasets| executions of a single
+  compiled program (the reference re-builds a torch model per variant).
+* ``test_mode`` selector matches the reference CLI: ``all`` /``base_only`` /
+  ``individual_only`` / ``combinations_only`` (eval_compose.py:446-447).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+from typing import Callable, Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..attacks.common import Normalizer
+from ..data.loader import Loader
+from ..models.registry import ModelEntry, get_normalization
+from ..ops import lora, peft_io
+from ..train.loop import evaluate
+from ..train.steps import make_eval_step
+
+
+def enumerate_variants(attacks: Sequence[str], *, test_mode: str = "all"
+                       ) -> list[tuple[str, tuple[str, ...]]]:
+    """(variant_name, adapters-to-merge) pairs, reference enumeration order:
+    base, each individual, all C(n,2), C(n,3), then the full set
+    (eval_compose.py:286, 329, 372)."""
+    variants: list[tuple[str, tuple[str, ...]]] = []
+    if test_mode in ("all", "base_only"):
+        variants.append(("base", ()))
+    if test_mode in ("all", "individual_only"):
+        variants.extend((f"lora_{a}", (a,)) for a in attacks)
+    if test_mode in ("all", "combinations_only"):
+        for k in (2, 3):
+            if len(attacks) > k:
+                variants.extend(("+".join(c), c)
+                                for c in itertools.combinations(attacks, k))
+        if len(attacks) >= 2:
+            variants.append(("+".join(attacks), tuple(attacks)))
+    # dedupe while keeping order (full set may equal a C(k) combo)
+    seen, out = set(), []
+    for name, combo in variants:
+        if name not in seen:
+            seen.add(name)
+            out.append((name, combo))
+    return out
+
+
+def build_variant_params(base_params, combo: Sequence[str],
+                         adapters: Mapping[str, tuple]) -> dict:
+    """Merge the named adapters into the base. ``adapters[name]`` is
+    ``(adapter_pytree, LoRAConfig, head-or-None)``. Last merged head wins
+    (PEFT sequential-merge semantics, eval_compose.py:102-114)."""
+    ads = [adapters[a][0] for a in combo]
+    cfgs = [adapters[a][1] for a in combo]
+    params = lora.merge_many(base_params, ads, cfgs)
+    for a in reversed(combo):
+        head = adapters[a][2]
+        if head is not None:
+            params = dict(params)
+            params["head"] = {"w": np.asarray(head["w"]),
+                              "b": np.asarray(head["b"])}
+            break
+    return params
+
+
+def find_lora_adapters(lora_root: str, attacks: Sequence[str], rank: int,
+                       *, tag: str = "best") -> dict[str, tuple]:
+    """Discover ``{lora_root}/{attack}/rank{r}_{tag}_adapter`` dirs
+    (reference layout, eval_compose.py:197-208) and load them."""
+    found = {}
+    for attack in attacks:
+        d = os.path.join(lora_root, attack, f"rank{rank}_{tag}_adapter")
+        if os.path.isdir(d):
+            found[attack] = peft_io.load_peft_adapter(d)
+    return found
+
+
+def run_composability_eval(
+    entry: ModelEntry,
+    base_params,
+    adapters: Mapping[str, tuple],
+    dataloaders: Mapping[str, Loader],
+    num_classes: int,
+    *,
+    test_mode: str = "all",
+    mesh=None,
+    normalize: Optional[Normalizer] = None,
+    out_path: Optional[str] = None,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """The full matrix: every variant × every dataset.
+
+    ``dataloaders``: ``{"clean": Loader, "<attack>": Loader, ...}``.
+    Returns ``{variant: {dataset: {accuracy, f1, ...}}}`` and optionally
+    writes it as JSON (reference ``test_results.json``, eval_compose.py:485-487).
+    """
+    cfg = entry.config(num_classes)
+    normalize = normalize or Normalizer(*get_normalization(entry.name))
+    eval_step = make_eval_step(lambda p, x: entry.apply(cfg, p, x),
+                               num_classes, normalize=normalize)
+
+    results: dict[str, dict] = {}
+    for name, combo in enumerate_variants(tuple(adapters), test_mode=test_mode):
+        if any(a not in adapters for a in combo):
+            continue
+        params = build_variant_params(base_params, combo, adapters)
+        params = jax.device_put(params)
+        results[name] = {}
+        for ds_name, loader in dataloaders.items():
+            m = evaluate(eval_step, params, loader, mesh=mesh)
+            results[name][ds_name] = {k: m[k] for k in
+                                      ("accuracy", "f1", "loss", "support")}
+        log(f"{name}: " + "  ".join(
+            f"{d}={results[name][d]['accuracy']:.4f}" for d in dataloaders))
+
+    if out_path:
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def format_summary_table(results: Mapping[str, Mapping[str, Mapping]]) -> str:
+    """Aligned console table (reference eval_compose.py:490-512)."""
+    if not results:
+        return "(no results)"
+    datasets = list(next(iter(results.values())))
+    name_w = max(len("MODEL VARIANT"), max(len(n) for n in results)) + 2
+    col_w = max(12, max(len(d) for d in datasets) + 2)
+    lines = ["MODEL VARIANT".ljust(name_w)
+             + "".join(d.ljust(col_w) for d in datasets)]
+    lines.append("-" * (name_w + col_w * len(datasets)))
+    for name, per_ds in results.items():
+        row = name.ljust(name_w)
+        for d in datasets:
+            acc = per_ds.get(d, {}).get("accuracy")
+            row += (f"{acc:.4f}".ljust(col_w) if acc is not None
+                    else "-".ljust(col_w))
+        lines.append(row)
+    return "\n".join(lines)

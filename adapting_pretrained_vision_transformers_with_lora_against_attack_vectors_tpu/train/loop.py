@@ -1,0 +1,289 @@
+"""Epoch-level training drivers: base fine-tune and per-attack LoRA defense.
+
+Capability parity with the reference's two trainers, re-designed around the
+jitted steps in :mod:`train.steps`:
+
+* :func:`fit` — the shared epoch engine. Replaces the reference's
+  ``train_epoch``/``validate`` pair (train.py:25-88). Differences by design:
+  batches cross to the device as uint8 and normalize on-device; metrics
+  accumulate on device and cross to host once per epoch; the final partial
+  batch is padded + masked instead of changing shape (one XLA program).
+* :func:`train_base_model` — ``train.py`` capability: AdamW + StepLR
+  (train.py:203-204), best-on-val-accuracy checkpointing (train.py:249-254),
+  test metrics + results artifacts (train.py:277-294).
+* :func:`train_lora_adapter` — ``train_loras.py`` capability: frozen base,
+  adapter pytree is the only trainable (train_loras.py:284-351), best-on-val
+  adapter + PEFT-format export (train_loras.py:340-355).
+
+Both drivers work on any registry backbone and any mesh: pass a Mesh and the
+loops shard each batch over the data axis (the reference is single-device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..attacks.common import Normalizer
+from ..data.loader import Loader
+from ..models.registry import ModelEntry, get_normalization
+from ..ops import lora
+from ..parallel import mesh as pmesh
+from ..utils import checkpoint
+from ..utils.vocab import LabelVocabulary
+from . import optim
+from .metrics import confusion_matrix_metrics
+from .steps import TrainState, make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    best_params: Any
+    best_val_accuracy: float
+    best_epoch: int
+    history: list[dict]
+
+
+def _device_batch(batch, mesh):
+    """uint8 batch -> device arrays ([0,1] floats happen on device)."""
+    images = batch.images.astype(np.float32) / 255.0
+    if mesh is not None:
+        images, labels, valid = pmesh.shard_batch(mesh, images, batch.labels,
+                                                  batch.valid)
+    else:
+        images = jax.device_put(images)
+        labels = jax.device_put(batch.labels)
+        valid = jax.device_put(batch.valid)
+    return images, labels, valid
+
+
+def evaluate(eval_step, params, loader: Loader, *, mesh=None) -> dict:
+    """Run ``eval_step`` over a loader; returns accuracy/F1/loss metrics."""
+    loss_sum = None
+    conf_sum = None
+    for batch in loader:
+        images, labels, valid = _device_batch(batch, mesh)
+        loss, conf = eval_step(params, images, labels, valid)
+        loss_sum = loss if loss_sum is None else loss_sum + loss
+        conf_sum = conf if conf_sum is None else conf_sum + conf
+    if conf_sum is None:
+        return {"accuracy": 0.0, "f1": 0.0, "loss": 0.0, "support": 0.0}
+    conf_np = np.asarray(jax.device_get(conf_sum))
+    m = confusion_matrix_metrics(conf_np)
+    m["loss"] = float(jax.device_get(loss_sum)) / max(m["support"], 1.0)
+    return m
+
+
+def fit(
+    forward: Callable[[Any, jax.Array], jax.Array],
+    trainable,
+    tx: optax.GradientTransformation,
+    train_loader: Loader,
+    val_loader: Optional[Loader],
+    *,
+    epochs: int,
+    num_classes: int,
+    normalize: Optional[Normalizer],
+    mesh=None,
+    on_epoch_end: Optional[Callable[[int, dict], None]] = None,
+    log: Callable[[str], None] = print,
+) -> FitResult:
+    """Shared epoch engine: train ``epochs`` epochs, track best-on-val params."""
+    train_step = make_train_step(forward, tx, normalize=normalize)
+    eval_step = make_eval_step(forward, num_classes, normalize=normalize)
+
+    state = TrainState.create(trainable, tx)
+    best_params, best_acc, best_epoch = state.params, -1.0, -1
+    history: list[dict] = []
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        loss_sum = correct = count = None
+        for batch in train_loader:
+            images, labels, valid = _device_batch(batch, mesh)
+            state, m = train_step(state, images, labels, valid)
+            if loss_sum is None:
+                loss_sum, correct, count = m["loss_sum"], m["correct"], m["count"]
+            else:
+                loss_sum += m["loss_sum"]
+                correct += m["correct"]
+                count += m["count"]
+
+        n = float(jax.device_get(count)) if count is not None else 0.0
+        rec = {
+            "epoch": epoch,
+            "train_loss": float(jax.device_get(loss_sum)) / max(n, 1.0) if n else 0.0,
+            "train_accuracy": float(jax.device_get(correct)) / max(n, 1.0) if n else 0.0,
+            "seconds": time.time() - t0,
+        }
+        if val_loader is not None:
+            val = evaluate(eval_step, state.params, val_loader, mesh=mesh)
+            rec.update({f"val_{k}": v for k, v in val.items()})
+            if val["accuracy"] > best_acc:
+                best_acc, best_epoch = val["accuracy"], epoch
+                best_params = jax.tree.map(lambda x: x, state.params)
+        history.append(rec)
+        log(f"epoch {epoch}: loss {rec['train_loss']:.4f} "
+            f"acc {rec['train_accuracy']:.4f}"
+            + (f" val_acc {rec.get('val_accuracy', 0):.4f}" if val_loader else "")
+            + f" ({rec['seconds']:.1f}s)")
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, rec)
+
+    if best_epoch < 0:  # no val loader: final params are "best"
+        best_params, best_acc, best_epoch = state.params, float("nan"), epochs - 1
+    return FitResult(state, best_params, best_acc, best_epoch, history)
+
+
+def train_base_model(
+    entry: ModelEntry,
+    params,
+    train_loader: Loader,
+    val_loader: Optional[Loader],
+    test_loader: Optional[Loader],
+    vocab: LabelVocabulary,
+    *,
+    out_dir: str,
+    epochs: int = 1,
+    lr: float = 1e-4,
+    weight_decay: float = 1e-4,
+    steplr_epochs: int = 20,
+    steplr_gamma: float = 0.1,
+    mesh=None,
+    model_name: Optional[str] = None,
+    source: str = "all",
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Full fine-tune (reference ``train.py:113-296`` capability).
+
+    Artifacts under ``out_dir``: ``class_mappings.txt``, best/final model
+    checkpoints (safetensors), ``results.json``-style summary returned and
+    written as ``training_results.csv`` (column parity with train.py:277-294).
+    """
+    model_name = model_name or entry.name
+    cfg = entry.config(len(vocab))
+    normalize = Normalizer(*get_normalization(model_name))
+    forward = lambda p, x: entry.apply(cfg, p, x)
+    steps_per_epoch = max(len(train_loader), 1)
+    tx = optim.adamw_steplr(lr, weight_decay=weight_decay,
+                            step_size_epochs=steplr_epochs, gamma=steplr_gamma,
+                            steps_per_epoch=steps_per_epoch)
+
+    os.makedirs(out_dir, exist_ok=True)
+    vocab.save(os.path.join(out_dir, "class_mappings.txt"))
+
+    result = fit(forward, params, tx, train_loader, val_loader,
+                 epochs=epochs, num_classes=len(vocab), normalize=normalize,
+                 mesh=mesh, log=log)
+
+    best_path = os.path.join(out_dir, f"{model_name}_best_model_finetuned.safetensors")
+    checkpoint.save_pytree(result.best_params, best_path,
+                           meta={"model": model_name, "source": source,
+                                 "classes": list(vocab.classes),
+                                 "best_epoch": result.best_epoch,
+                                 "best_val_accuracy": result.best_val_accuracy})
+    final_path = os.path.join(out_dir, f"{model_name}_final_model.safetensors")
+    checkpoint.save_pytree(result.state.params, final_path)
+
+    summary = {
+        "model": model_name, "source": source, "epochs": epochs,
+        "best_epoch": result.best_epoch,
+        "best_val_accuracy": result.best_val_accuracy,
+        "history": result.history,
+        "checkpoint": best_path,
+    }
+    if test_loader is not None:
+        eval_step = make_eval_step(forward, len(vocab), normalize=normalize)
+        test = evaluate(eval_step, result.best_params, test_loader, mesh=mesh)
+        summary["test_accuracy"] = test["accuracy"]
+        summary["test_f1"] = test["f1"]
+        log(f"test: acc {test['accuracy']:.4f} f1 {test['f1']:.4f}")
+
+    _write_results_csv(os.path.join(out_dir, "training_results.csv"), summary)
+    return summary
+
+
+def train_lora_adapter(
+    entry: ModelEntry,
+    base_params,
+    lora_cfg: lora.LoRAConfig,
+    train_loader: Loader,
+    val_loader: Optional[Loader],
+    vocab: LabelVocabulary,
+    *,
+    out_dir: str,
+    epochs: int = 4,
+    lr: float = 1e-4,
+    train_head: bool = True,
+    rng: Optional[jax.Array] = None,
+    mesh=None,
+    model_name: Optional[str] = None,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Per-attack LoRA defense training (reference ``train_loras.py:118-395``).
+
+    The trainable pytree is the adapter (plus, like PEFT ``SEQ_CLS``, the
+    classifier head when ``train_head``); the base stays frozen and closed
+    over. Saves ``rank{r}_best_adapter/`` and ``rank{r}_final_adapter/`` in
+    PEFT format (reference layout, train_loras.py:342-355).
+    """
+    model_name = model_name or entry.name
+    cfg = entry.config(len(vocab))
+    normalize = Normalizer(*get_normalization(model_name))
+    rng = rng if rng is not None else jax.random.key(0)
+
+    adapter = lora.init(rng, base_params, lora_cfg)
+    trainable: dict = {"adapter": adapter}
+    if train_head:
+        trainable["head"] = base_params["head"]
+
+    def forward(train_tree, x):
+        p = lora.attach(base_params, train_tree["adapter"], lora_cfg)
+        if train_head:
+            p = dict(p)
+            p["head"] = train_tree["head"]
+        return entry.apply(cfg, p, x)
+
+    tx = optim.lora_adam(lr)
+    result = fit(forward, trainable, tx, train_loader, val_loader,
+                 epochs=epochs, num_classes=len(vocab), normalize=normalize,
+                 mesh=mesh, log=log)
+
+    r = lora_cfg.rank
+    from ..ops import peft_io
+
+    for tag, tree in (("best", result.best_params), ("final", result.state.params)):
+        peft_io.save_peft_adapter(
+            tree["adapter"], lora_cfg, os.path.join(out_dir, f"rank{r}_{tag}_adapter"),
+            head=tree.get("head"))
+
+    return {
+        "model": model_name, "rank": r,
+        "best_epoch": result.best_epoch,
+        "best_val_accuracy": result.best_val_accuracy,
+        "history": result.history,
+        "adapter_dir": os.path.join(out_dir, f"rank{r}_best_adapter"),
+        "best_trainable": result.best_params,
+    }
+
+
+def _write_results_csv(path: str, summary: dict) -> None:
+    import csv
+
+    rows = summary.get("history", [])
+    if not rows:
+        return
+    keys = sorted({k for r in rows for k in r})
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
