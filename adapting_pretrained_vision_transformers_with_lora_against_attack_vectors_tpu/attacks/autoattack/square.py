@@ -1,0 +1,117 @@
+"""Square Attack (Linf) — black-box random search, forward passes only.
+
+JAX implementation of the Linf Square Attack (Andriushchenko et al., ECCV
+2020), the final stage of the AutoAttack 'standard' suite the reference runs
+(auto_attack.py:94-108). All ``n_queries`` proposals run inside one
+``lax.scan``; per-example accept/reject is a vectorized margin comparison,
+so the whole black-box search is a single compiled program with zero host
+round-trips (the reference's AutoAttack pays a Python loop per query batch).
+
+Algorithm: start from vertical-stripe initialization
+``x + eps·sign(U)`` per column; each query samples a square window (side
+from the paper's ``p``-schedule) at a random position and proposes a new
+constant ``±eps`` perturbation on that window per channel; accept when the
+margin loss decreases. Examples already adversarial stop updating.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..common import IMAGENET, Normalizer, linf_project
+
+
+@dataclasses.dataclass(frozen=True)
+class SquareConfig:
+    eps: float = 8 / 255
+    n_queries: int = 5000
+    p_init: float = 0.8
+
+
+def p_schedule(i: int, n: int, p_init: float) -> float:
+    """Piecewise-constant fraction of pixels to perturb (paper's schedule)."""
+    frac = 10 * i / n
+    if frac <= 0.5:
+        return p_init
+    if frac <= 2:
+        return p_init / 2
+    if frac <= 4:
+        return p_init / 4
+    if frac <= 6:
+        return p_init / 8
+    if frac <= 8:
+        return p_init / 16
+    return p_init / 32
+
+
+def margin_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """z_y - max_{i!=y} z_i; negative => misclassified."""
+    z_y = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    masked = logits.at[jnp.arange(logits.shape[0]), labels].set(-jnp.inf)
+    return z_y - masked.max(axis=-1)
+
+
+def make_square(
+    entry_apply: Callable,
+    model_cfg,
+    cfg: SquareConfig,
+    *,
+    normalize: Normalizer = IMAGENET,
+) -> Callable:
+    """Jitted ``(params, images, labels, rng) -> x_adv``."""
+    apply_fn = partial(entry_apply, model_cfg)
+
+    def margins(params, x, labels):
+        return margin_loss(apply_fn(params, normalize(x)), labels)
+
+    @jax.jit
+    def run(params, images, labels, rng):
+        b, h, w, c = images.shape
+        expand = (slice(None), None, None, None)
+
+        # static per-query square sides from the p-schedule
+        sides = jnp.asarray(
+            [max(1, min(h - 1, int(round(math.sqrt(
+                p_schedule(i, cfg.n_queries, cfg.p_init) * h * w)))))
+             for i in range(cfg.n_queries)], jnp.int32)
+
+        # vertical-stripe init
+        r0 = jax.random.fold_in(rng, 0)
+        stripes = cfg.eps * jnp.sign(
+            jax.random.uniform(r0, (b, 1, w, c), minval=-1.0, maxval=1.0))
+        x = linf_project(images + stripes, images, cfg.eps)
+        f = margins(params, x, labels)
+
+        yy = jnp.arange(h)[None, :, None]
+        xx = jnp.arange(w)[None, None, :]
+
+        def query(carry, inp):
+            x, f = carry
+            i, s = inp
+            r = jax.random.fold_in(rng, i + 1)
+            r_pos, r_delta = jax.random.split(r)
+            pos = jax.random.randint(r_pos, (b, 2), 0,
+                                     jnp.maximum(h - s, 1))
+            window = ((yy >= pos[:, 0:1, None]) & (yy < pos[:, 0:1, None] + s) &
+                      (xx >= pos[:, 1:2, None]) & (xx < pos[:, 1:2, None] + s))
+            delta = cfg.eps * jnp.sign(
+                jax.random.uniform(r_delta, (b, 1, 1, c), minval=-1.0, maxval=1.0))
+            cand = jnp.where(window[..., None], images + delta, x)
+            cand = linf_project(cand, images, cfg.eps)
+            f_cand = margins(params, cand, labels)
+            accept = (f_cand < f) & (f > 0)  # stop moving once adversarial
+            x = jnp.where(accept[expand], cand, x)
+            f = jnp.where(accept, f_cand, f)
+            return (x, f), None
+
+        (x, f), _ = jax.lax.scan(
+            query, (x, f), (jnp.arange(cfg.n_queries), sides))
+        return x
+
+    return run
