@@ -1,0 +1,142 @@
+"""Functional ConvNeXt — the convolutional backbone of the reference's
+promised model zoo (README.md:49-57, never implemented there; SURVEY.md
+§2.4 item 1).
+
+TPU design notes:
+
+* Each stage's (homogeneous) blocks stack on a leading axis and run as one
+  ``lax.scan``; ConvNeXt-B's 27-deep stage 3 compiles as a single loop body.
+* The 7x7 depthwise conv is ``lax.conv_general_dilated`` with
+  ``feature_group_count=dim`` (XLA maps depthwise convs to the VPU/MXU
+  directly); the two pointwise convs are plain denses on the channel axis —
+  MXU matmuls.
+* The 1x1 "pointwise" layers double as LoRA targets (``pwconv1/pwconv2``),
+  giving adapter parity on a conv backbone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nn import dense, dense_init, gelu, layer_norm, layer_norm_init
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvNeXtConfig:
+    image_size: int = 224
+    depths: tuple[int, ...] = (3, 3, 27, 3)
+    dims: tuple[int, ...] = (128, 256, 512, 1024)
+    num_classes: int = 21
+    layer_norm_eps: float = 1e-6
+    layer_scale_init: float = 1e-6
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    def with_classes(self, num_classes: int) -> "ConvNeXtConfig":
+        return dataclasses.replace(self, num_classes=num_classes)
+
+
+CONVNEXT_B = ConvNeXtConfig()
+CONVNEXT_T = ConvNeXtConfig(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768))
+CONVNEXT_TEST = ConvNeXtConfig(image_size=32, depths=(2, 2), dims=(16, 32),
+                               num_classes=10, compute_dtype="float32")
+
+
+def _block_init(rng: jax.Array, dim: int, cfg: ConvNeXtConfig, dtype) -> dict:
+    r_dw, r_p1, r_p2 = jax.random.split(rng, 3)
+    dw = jax.random.truncated_normal(r_dw, -2, 2, (7, 7, 1, dim), dtype) * 0.02
+    return {
+        "dwconv": {"w": dw, "b": jnp.zeros((dim,), dtype)},
+        "norm": layer_norm_init(dim, dtype=dtype),
+        "pwconv1": dense_init(r_p1, dim, 4 * dim, dtype=dtype),
+        "pwconv2": dense_init(r_p2, 4 * dim, dim, dtype=dtype),
+        "gamma": jnp.full((dim,), cfg.layer_scale_init, dtype),
+    }
+
+
+def init(rng: jax.Array, cfg: ConvNeXtConfig) -> dict:
+    dtype = jnp.dtype(cfg.param_dtype)
+    r_stem, r_stages, r_head = jax.random.split(rng, 3)
+    stem_w = jax.random.truncated_normal(r_stem, -2, 2,
+                                         (4, 4, 3, cfg.dims[0]), dtype) * 0.02
+    stages = []
+    for s, depth in enumerate(cfg.depths):
+        dim = cfg.dims[s]
+        rngs = jax.random.split(jax.random.fold_in(r_stages, s), depth)
+        blocks = jax.vmap(lambda r, _d=dim: _block_init(r, _d, cfg, dtype))(rngs)
+        stage = {"blocks": blocks}
+        if s > 0:
+            r_ds = jax.random.fold_in(r_stages, 100 + s)
+            stage["downsample"] = {
+                "norm": layer_norm_init(cfg.dims[s - 1], dtype=dtype),
+                "conv": {"w": jax.random.truncated_normal(
+                    r_ds, -2, 2, (2, 2, cfg.dims[s - 1], dim), dtype) * 0.02,
+                    "b": jnp.zeros((dim,), dtype)},
+            }
+        stages.append(stage)
+    return {
+        "stem": {"conv": {"w": stem_w, "b": jnp.zeros((cfg.dims[0],), dtype)},
+                 "norm": layer_norm_init(cfg.dims[0], dtype=dtype)},
+        "stages": stages,
+        "final_ln": layer_norm_init(cfg.dims[-1], dtype=dtype),
+        "head": dense_init(r_head, cfg.dims[-1], cfg.num_classes, dtype=dtype),
+    }
+
+
+def _conv(x: jax.Array, w: jax.Array, b, *, stride: int, groups: int = 1,
+          padding="SAME") -> jax.Array:
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _block(cfg: ConvNeXtConfig, bp: dict, x: jax.Array) -> jax.Array:
+    dim = x.shape[-1]
+    h = _conv(x, bp["dwconv"]["w"], bp["dwconv"]["b"], stride=1, groups=dim)
+    h = layer_norm(bp["norm"], h, eps=cfg.layer_norm_eps)
+    h = gelu(dense(bp["pwconv1"], h, compute_dtype=x.dtype))
+    h = dense(bp["pwconv2"], h, compute_dtype=x.dtype)
+    return x + bp["gamma"].astype(x.dtype) * h
+
+
+def features(cfg: ConvNeXtConfig, params: dict, images: jax.Array) -> jax.Array:
+    """-> (B, H', W', C_last) pre-pool feature map."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    x = _conv(images.astype(cd), params["stem"]["conv"]["w"],
+              params["stem"]["conv"]["b"], stride=4, padding="VALID")
+    x = layer_norm(params["stem"]["norm"], x, eps=cfg.layer_norm_eps)
+    for s in range(len(cfg.depths)):
+        if s > 0:
+            ds = params["stages"][s]["downsample"]
+            x = layer_norm(ds["norm"], x, eps=cfg.layer_norm_eps)
+            x = _conv(x, ds["conv"]["w"], ds["conv"]["b"], stride=2,
+                      padding="VALID")
+        def body(h, bp):
+            return _block(cfg, bp, h), None
+        x, _ = jax.lax.scan(body, x, params["stages"][s]["blocks"])
+    return x
+
+
+def apply(cfg: ConvNeXtConfig, params: dict, images: jax.Array) -> jax.Array:
+    x = features(cfg, params, images)
+    pooled = x.mean(axis=(1, 2))
+    pooled = layer_norm(params["final_ln"], pooled, eps=cfg.layer_norm_eps)
+    logits = dense(params["head"], pooled, compute_dtype=pooled.dtype,
+                   accum_dtype=jnp.float32)
+    return logits.astype(jnp.float32)
+
+
+def lora_target_paths(cfg: ConvNeXtConfig) -> tuple[str, ...]:
+    out = []
+    for s in range(len(cfg.depths)):
+        out.append(f"stages/{s}/blocks/pwconv1")
+        out.append(f"stages/{s}/blocks/pwconv2")
+    return tuple(out)

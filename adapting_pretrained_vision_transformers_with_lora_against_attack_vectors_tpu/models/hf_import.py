@@ -57,11 +57,18 @@ def _as_numpy(state_dict: Mapping) -> dict[str, np.ndarray]:
 
 
 def vit_params_from_hf(state_dict: Mapping, cfg: ViTConfig, *,
-                       dtype=np.float32) -> dict:
-    """HF ``ViTForImageClassification`` state dict -> functional param pytree."""
+                       dtype=np.float32, prefix: str = "vit.",
+                       allow_missing_head: bool = False) -> dict:
+    """HF ``ViTForImageClassification`` state dict -> functional param pytree.
+
+    ``prefix``: backbone key prefix — ``"vit."`` for
+    ``ViTForImageClassification``, ``""`` for a bare ``ViTModel`` (the DINOv1
+    checkpoints, e.g. ``facebook/dino-vitb16``, are head-less ViTModels; pass
+    ``allow_missing_head=True`` to zero-init the classifier)."""
     sd = _as_numpy(state_dict)
 
     def get(name):
+        name = prefix + name.removeprefix("vit.") if name.startswith("vit.") else name
         if name not in sd:
             raise KeyError(f"missing {name!r} in state dict "
                            f"(have e.g. {sorted(sd)[:3]}...)")
@@ -86,10 +93,19 @@ def vit_params_from_hf(state_dict: Mapping, cfg: ViTConfig, *,
 
     from ..utils import trees
 
-    head_w = get("classifier.weight").T
-    if head_w.shape[1] != cfg.num_classes:
-        raise ValueError(f"classifier has {head_w.shape[1]} classes, "
-                         f"config expects {cfg.num_classes}")
+    if "classifier.weight" in sd:
+        head_w = sd["classifier.weight"].astype(dtype).T
+        head_b = sd["classifier.bias"].astype(dtype)
+        if head_w.shape[1] != cfg.num_classes:
+            raise ValueError(f"classifier has {head_w.shape[1]} classes, "
+                             f"config expects {cfg.num_classes}")
+    elif allow_missing_head:
+        head_w = np.zeros((cfg.hidden_dim, cfg.num_classes), dtype)
+        head_b = np.zeros((cfg.num_classes,), dtype)
+    else:
+        raise KeyError("missing 'classifier.weight' "
+                       "(pass allow_missing_head=True for backbone-only "
+                       "checkpoints like DINO)")
     return {
         "embed": {
             "proj": {"w": proj_w,
@@ -100,7 +116,7 @@ def vit_params_from_hf(state_dict: Mapping, cfg: ViTConfig, *,
         "blocks": trees.unflatten_from_paths(stacked),
         "final_ln": {"scale": get("vit.layernorm.weight"),
                      "bias": get("vit.layernorm.bias")},
-        "head": {"w": head_w, "b": get("classifier.bias")},
+        "head": {"w": head_w, "b": head_b},
     }
 
 
@@ -131,6 +147,145 @@ def hf_from_vit_params(params, cfg: ViTConfig) -> dict[str, np.ndarray]:
             layer = arr[i].T if path.endswith("/w") else arr[i]
             sd[tmpl.format(i=i)] = np.ascontiguousarray(layer)
     return sd
+
+
+def swin_params_from_hf(state_dict: Mapping, cfg, *, dtype=np.float32) -> dict:
+    """HF ``SwinForImageClassification`` state dict -> :mod:`models.swin`
+    param pytree. HF stores separate q/k/v projections; this framework fuses
+    them into one ``qkv`` kernel (concatenated on the output axis, order
+    q|k|v — matching ``swin._window_attention``'s reshape). Per-stage blocks
+    stack as (pairs, 2, ...) for the scan-over-shift-pairs layout."""
+    sd = _as_numpy(state_dict)
+
+    def get(name):
+        if name not in sd:
+            raise KeyError(f"missing {name!r} in Swin state dict")
+        return sd[name].astype(dtype)
+
+    p = cfg.patch_size
+    conv_w = get("swin.embeddings.patch_embeddings.projection.weight")
+    d = conv_w.shape[0]
+    proj_w = conv_w.transpose(2, 3, 1, 0).reshape(p * p * 3, d)
+
+    stages = []
+    for s, depth in enumerate(cfg.depths):
+        prefix = f"swin.encoder.layers.{s}"
+        per_block = []
+        for j in range(depth):
+            bp = f"{prefix}.blocks.{j}"
+            qw = get(f"{bp}.attention.self.query.weight").T
+            kw = get(f"{bp}.attention.self.key.weight").T
+            vw = get(f"{bp}.attention.self.value.weight").T
+            qb = get(f"{bp}.attention.self.query.bias")
+            kb = get(f"{bp}.attention.self.key.bias")
+            vb = get(f"{bp}.attention.self.value.bias")
+            per_block.append({
+                "ln1": {"scale": get(f"{bp}.layernorm_before.weight"),
+                        "bias": get(f"{bp}.layernorm_before.bias")},
+                "attn": {
+                    "qkv": {"w": np.concatenate([qw, kw, vw], axis=-1),
+                            "b": np.concatenate([qb, kb, vb])},
+                    "proj": {"w": get(f"{bp}.attention.output.dense.weight").T,
+                             "b": get(f"{bp}.attention.output.dense.bias")},
+                    "bias_table": get(
+                        f"{bp}.attention.self.relative_position_bias_table"),
+                },
+                "ln2": {"scale": get(f"{bp}.layernorm_after.weight"),
+                        "bias": get(f"{bp}.layernorm_after.bias")},
+                "mlp": {
+                    "fc1": {"w": get(f"{bp}.intermediate.dense.weight").T,
+                            "b": get(f"{bp}.intermediate.dense.bias")},
+                    "fc2": {"w": get(f"{bp}.output.dense.weight").T,
+                            "b": get(f"{bp}.output.dense.bias")},
+                },
+            })
+        # stack (pairs, 2, ...)
+        import jax
+
+        pairs = [jax.tree.map(lambda *xs: np.stack(xs), per_block[2 * i],
+                              per_block[2 * i + 1])
+                 for i in range(depth // 2)]
+        blocks = jax.tree.map(lambda *xs: np.stack(xs), *pairs) if len(pairs) > 1 \
+            else jax.tree.map(lambda x: x[None], pairs[0])
+        stage = {"blocks": blocks}
+        if s < len(cfg.depths) - 1:
+            stage["merge"] = {
+                "norm": {"scale": get(f"{prefix}.downsample.norm.weight"),
+                         "bias": get(f"{prefix}.downsample.norm.bias")},
+                "reduce": {"w": get(f"{prefix}.downsample.reduction.weight").T},
+            }
+        stages.append(stage)
+
+    return {
+        "embed": {
+            "proj": {"w": proj_w,
+                     "b": get("swin.embeddings.patch_embeddings.projection.bias")},
+            "norm": {"scale": get("swin.embeddings.norm.weight"),
+                     "bias": get("swin.embeddings.norm.bias")},
+        },
+        "stages": stages,
+        "final_ln": {"scale": get("swin.layernorm.weight"),
+                     "bias": get("swin.layernorm.bias")},
+        "head": {"w": get("classifier.weight").T, "b": get("classifier.bias")},
+    }
+
+
+def convnext_params_from_hf(state_dict: Mapping, cfg, *,
+                            dtype=np.float32) -> dict:
+    """HF ``ConvNextForImageClassification`` state dict -> :mod:`models.convnext`
+    pytree. torch conv weights (O, I, kh, kw) -> HWIO; per-stage blocks stack
+    on a leading axis for the scan."""
+    import jax
+
+    sd = _as_numpy(state_dict)
+
+    def get(name):
+        if name not in sd:
+            raise KeyError(f"missing {name!r} in ConvNeXt state dict")
+        return sd[name].astype(dtype)
+
+    def conv_w(name):
+        return get(name).transpose(2, 3, 1, 0)
+
+    stages = []
+    for s, depth in enumerate(cfg.depths):
+        prefix = f"convnext.encoder.stages.{s}"
+        per_block = []
+        for j in range(depth):
+            bp = f"{prefix}.layers.{j}"
+            per_block.append({
+                "dwconv": {"w": conv_w(f"{bp}.dwconv.weight"),
+                           "b": get(f"{bp}.dwconv.bias")},
+                "norm": {"scale": get(f"{bp}.layernorm.weight"),
+                         "bias": get(f"{bp}.layernorm.bias")},
+                "pwconv1": {"w": get(f"{bp}.pwconv1.weight").T,
+                            "b": get(f"{bp}.pwconv1.bias")},
+                "pwconv2": {"w": get(f"{bp}.pwconv2.weight").T,
+                            "b": get(f"{bp}.pwconv2.bias")},
+                "gamma": get(f"{bp}.layer_scale_parameter"),
+            })
+        blocks = jax.tree.map(lambda *xs: np.stack(xs), *per_block) \
+            if depth > 1 else jax.tree.map(lambda x: x[None], per_block[0])
+        stage = {"blocks": blocks}
+        if s > 0:
+            stage["downsample"] = {
+                "norm": {"scale": get(f"{prefix}.downsampling_layer.0.weight"),
+                         "bias": get(f"{prefix}.downsampling_layer.0.bias")},
+                "conv": {"w": conv_w(f"{prefix}.downsampling_layer.1.weight"),
+                         "b": get(f"{prefix}.downsampling_layer.1.bias")},
+            }
+        stages.append(stage)
+
+    return {
+        "stem": {"conv": {"w": conv_w("convnext.embeddings.patch_embeddings.weight"),
+                          "b": get("convnext.embeddings.patch_embeddings.bias")},
+                 "norm": {"scale": get("convnext.embeddings.layernorm.weight"),
+                          "bias": get("convnext.embeddings.layernorm.bias")}},
+        "stages": stages,
+        "final_ln": {"scale": get("convnext.layernorm.weight"),
+                     "bias": get("convnext.layernorm.bias")},
+        "head": {"w": get("classifier.weight").T, "b": get("classifier.bias")},
+    }
 
 
 def load_checkpoint_state_dict(path: str) -> dict[str, np.ndarray]:

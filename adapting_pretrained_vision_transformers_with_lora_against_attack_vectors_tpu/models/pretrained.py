@@ -1,0 +1,53 @@
+"""Pretrained-weight loading facade over the per-family importers.
+
+The reference pulls ``google/vit-base-patch16-224`` from the HF hub at
+runtime (Utils.py:84-90). This environment has **no network egress**, so
+loading is strictly file-based: point at a local checkpoint (an HF model
+directory, ``model.safetensors``, ``pytorch_model.bin``, or the reference's
+torch ``.pth`` state-dict pickles) and the right converter is chosen from
+the registry family. Random init is the explicit fallback, never a silent
+download."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from . import convnext, hf_import, swin, vit
+from .registry import ModelEntry, get_model
+
+
+def load_pretrained(name: str, num_classes: int, checkpoint: Optional[str],
+                    *, rng: Optional[jax.Array] = None):
+    """Returns ``(entry, cfg, params)``.
+
+    ``checkpoint=None`` -> random init (and a zero-delta LoRA attach still
+    works). Families: vit/dinov1 -> ``vit_params_from_hf``; swin ->
+    ``swin_params_from_hf``; convnext -> ``convnext_params_from_hf``.
+    yolo11 has no importable public torch zoo in this environment — random
+    init only (raise if a checkpoint is passed, rather than mis-parse)."""
+    entry = get_model(name)
+    cfg = entry.config(num_classes)
+    if checkpoint is None:
+        params = entry.init(rng if rng is not None else jax.random.key(0), cfg)
+        return entry, cfg, params
+
+    if not os.path.exists(checkpoint):
+        raise FileNotFoundError(checkpoint)
+    sd = hf_import.load_checkpoint_state_dict(checkpoint)
+
+    if entry.family == "vit":
+        prefix = "vit." if any(k.startswith("vit.") for k in sd) else ""
+        params = hf_import.vit_params_from_hf(
+            sd, cfg, prefix=prefix,
+            allow_missing_head="classifier.weight" not in sd)
+    elif entry.family == "swin":
+        params = hf_import.swin_params_from_hf(sd, cfg)
+    elif entry.family == "convnext":
+        params = hf_import.convnext_params_from_hf(sd, cfg)
+    else:
+        raise ValueError(f"no weight importer for family {entry.family!r} "
+                         f"(model {name!r}); omit checkpoint for random init")
+    return entry, cfg, params

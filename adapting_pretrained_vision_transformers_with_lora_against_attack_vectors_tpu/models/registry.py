@@ -74,8 +74,13 @@ def get_normalization(model_name: str) -> tuple:
         IMAGENET_MEAN, IMAGENET_STD)
 
 
-# --- built-in ViT family -----------------------------------------------------
+# --- built-in model zoo ------------------------------------------------------
+# The five reference-documented backbones (README.md:49-57): google_vit,
+# swin, dinov1, convnext, yolo11-cls — plus tiny/test variants for CI.
+from . import convnext as _convnext  # noqa: E402
+from . import swin as _swin  # noqa: E402
 from . import vit as _vit  # noqa: E402
+from . import yolo11 as _yolo11  # noqa: E402
 
 
 def _vit_entry(name: str, base_cfg) -> ModelEntry:
@@ -89,6 +94,26 @@ def _vit_entry(name: str, base_cfg) -> ModelEntry:
     )
 
 
+def _entry(name: str, family: str, mod, base_cfg) -> ModelEntry:
+    return ModelEntry(
+        name=name,
+        family=family,
+        config=lambda num_classes, _b=base_cfg: _b.with_classes(num_classes),
+        init=mod.init,
+        apply=mod.apply,
+        lora_targets=mod.lora_target_paths,
+    )
+
+
 register(_vit_entry("google_vit", _vit.VIT_B16))
 register(_vit_entry("vit_tiny", _vit.VIT_TINY))
 register(_vit_entry("vit_test", _vit.VIT_TEST))
+# DINOv1: architecturally ViT-B/16; weights come from the self-supervised
+# DINO checkpoint (head-less — see hf_import.vit_params_from_hf prefix="").
+register(_vit_entry("dinov1", _vit.VIT_B16))
+register(_entry("swin", "swin", _swin, _swin.SWIN_B))
+register(_entry("swin_test", "swin", _swin, _swin.SWIN_TEST))
+register(_entry("convnext", "convnext", _convnext, _convnext.CONVNEXT_B))
+register(_entry("convnext_test", "convnext", _convnext, _convnext.CONVNEXT_TEST))
+register(_entry("yolo11-cls", "yolo11", _yolo11, _yolo11.YOLO11N_CLS))
+register(_entry("yolo11_test", "yolo11", _yolo11, _yolo11.YOLO11_TEST))

@@ -1,0 +1,154 @@
+"""Multi-backbone zoo tests: registry completeness (the five README-promised
+backbones), forward/jit/grad on each family, LoRA attach/merge equivalence,
+and HF weight-import parity for Swin / ConvNeXt / DINO-style ViT."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import (
+    convnext, hf_import, registry, swin, yolo11)
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
+
+TEST_MODELS = ["vit_test", "swin_test", "convnext_test", "yolo11_test"]
+
+
+def test_registry_has_reference_zoo():
+    """The five backbones the reference README documents (README.md:49-57)."""
+    for name in ("google_vit", "swin", "dinov1", "convnext", "yolo11-cls"):
+        assert name in registry.available_models()
+
+
+@pytest.mark.parametrize("name", TEST_MODELS)
+def test_forward_and_grad(name):
+    entry = registry.get_model(name)
+    cfg = entry.config(7)
+    params = entry.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (2, cfg.image_size, cfg.image_size, 3))
+    out = entry.apply(cfg, params, x)
+    assert out.shape == (2, 7)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+    jout = jax.jit(entry.apply, static_argnums=0)(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(jout), atol=1e-5)
+
+    g = jax.grad(lambda p: entry.apply(cfg, p, x).sum())(params)
+    gnorm = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.parametrize("name", TEST_MODELS)
+def test_lora_attach_merge_equivalence(name):
+    entry = registry.get_model(name)
+    cfg = entry.config(7)
+    params = entry.init(jax.random.key(0), cfg)
+    lcfg = lora.LoRAConfig(rank=4, alpha=8.0, targets=entry.lora_targets(cfg))
+    adapter = lora.init(jax.random.key(1), params, lcfg)
+    adapter = jax.tree.map(lambda v: v + 0.01, adapter)
+
+    x = jax.random.uniform(jax.random.key(2), (2, cfg.image_size, cfg.image_size, 3))
+    out_att = entry.apply(cfg, lora.attach(params, adapter, lcfg), x)
+    out_mrg = entry.apply(cfg, lora.merge(params, adapter, lcfg), x)
+    out_base = entry.apply(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(out_att), np.asarray(out_mrg),
+                               atol=5e-4, rtol=1e-3)
+    assert float(jnp.abs(out_att - out_base).max()) > 1e-7  # adapter does something
+
+    # gradients flow into the adapter only
+    g = jax.grad(lambda a: entry.apply(
+        cfg, lora.attach(params, a, lcfg), x).sum())(adapter)
+    assert sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g)) > 0
+
+
+# --- HF import parity fixtures ----------------------------------------------
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _rand_images(n=2, size=32):
+    return np.random.default_rng(0).random((n, size, size, 3), np.float32)
+
+
+def test_swin_hf_parity():
+    jax.config.update("jax_default_matmul_precision", "highest")
+    hf_cfg = transformers.SwinConfig(image_size=32, patch_size=4, embed_dim=32,
+                                     depths=[2, 2], num_heads=[2, 4],
+                                     window_size=4, num_labels=5)
+    torch.manual_seed(0)
+    m = transformers.SwinForImageClassification(hf_cfg).eval()
+    cfg = swin.SwinConfig(image_size=32, patch_size=4, window=4, embed_dim=32,
+                          depths=(2, 2), num_heads=(2, 4), num_classes=5,
+                          compute_dtype="float32")
+    params = hf_import.swin_params_from_hf(m.state_dict(), cfg)
+    x = _rand_images()
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(swin.apply(cfg, params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_convnext_hf_parity():
+    jax.config.update("jax_default_matmul_precision", "highest")
+    hf_cfg = transformers.ConvNextConfig(image_size=32, num_stages=2,
+                                         depths=[2, 2], hidden_sizes=[16, 32],
+                                         num_labels=5)
+    torch.manual_seed(0)
+    m = transformers.ConvNextForImageClassification(hf_cfg).eval()
+    cfg = convnext.ConvNeXtConfig(image_size=32, depths=(2, 2), dims=(16, 32),
+                                  num_classes=5, compute_dtype="float32")
+    params = hf_import.convnext_params_from_hf(m.state_dict(), cfg)
+    x = _rand_images()
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(convnext.apply(cfg, params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_dino_style_headless_vit_import():
+    """DINOv1 checkpoints are bare ViTModels: prefix='' + zero head."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    hf_cfg = transformers.ViTConfig(image_size=32, patch_size=8, hidden_size=64,
+                                    num_hidden_layers=2, num_attention_heads=2,
+                                    intermediate_size=128)
+    torch.manual_seed(0)
+    m = transformers.ViTModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = vit.ViTConfig(image_size=32, patch_size=8, hidden_dim=64, depth=2,
+                        num_heads=2, mlp_dim=128, num_classes=5,
+                        compute_dtype="float32")
+    params = hf_import.vit_params_from_hf(m.state_dict(), cfg, prefix="",
+                                          allow_missing_head=True)
+    x = _rand_images()
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    ours = np.asarray(vit.features(cfg, params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+    # zero head -> zero logits (ready for fine-tuning)
+    np.testing.assert_allclose(
+        np.asarray(vit.apply(cfg, params, jnp.asarray(x))), 0.0, atol=1e-6)
+
+
+def test_load_pretrained_facade(tmp_path):
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import pretrained
+
+    # random init path
+    entry, cfg, params = pretrained.load_pretrained("swin_test", 4, None)
+    assert entry.apply(cfg, params, jnp.zeros((1, 32, 32, 3))).shape == (1, 4)
+
+    # file path (HF ViT .pth round trip)
+    hf_cfg = transformers.ViTConfig(image_size=32, patch_size=8, hidden_size=64,
+                                    num_hidden_layers=2, num_attention_heads=2,
+                                    intermediate_size=128, num_labels=10)
+    m = transformers.ViTForImageClassification(hf_cfg)
+    p = str(tmp_path / "ckpt.pth")
+    torch.save(m.state_dict(), p)
+    entry, cfg, params = pretrained.load_pretrained("vit_test", 10, p)
+    assert entry.apply(cfg, params, jnp.zeros((1, 32, 32, 3))).shape == (1, 10)
+
+    with pytest.raises(ValueError):
+        pretrained.load_pretrained("yolo11_test", 4, p)
