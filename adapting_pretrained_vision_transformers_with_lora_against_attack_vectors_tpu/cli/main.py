@@ -1,0 +1,591 @@
+"""CLI implementation — argparse subcommands over the library modules.
+
+Path conventions mirror the reference's filesystem contract so artifacts from
+any stage feed the next (SURVEY.md §1):
+
+* base checkpoints: ``{out}/{model}/{source}/{model}_best_model_finetuned.safetensors``
+  + ``class_mappings.txt`` (reference train.py:216-219, 251-254)
+* adversarial data: ``{adv_root}/{model}/{source}/{split}/{attack}/images``
+  + ``metadata.csv`` (whitebox_attacks.py:118-124)
+* LoRA adapters: ``{lora_root}/{model}/{source}/{attack}/rank{r}_{best,final}_adapter``
+  (train_loras.py:342-355)
+* eval: ``test_results.json`` + stdout table (eval_compose.py:485-512)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _common_data_args(p, *, sources=True):
+    p.add_argument("--data_root", required=True,
+                   help="processed dataset root ({split}/metadata.csv)")
+    if sources:
+        p.add_argument("--sources", nargs="+", default=None,
+                       help="filter metadata by source column")
+
+
+def _loaders_for(args, vocab, splits, *, batch_size, shuffle_train=True,
+                 image_size=224, resize=256):
+    from ..data.loader import Loader, MetadataIndex
+
+    out = {}
+    for split in splits:
+        meta = os.path.join(args.data_root, split, "metadata.csv")
+        if not os.path.exists(meta):
+            out[split] = None
+            continue
+        idx = MetadataIndex(meta, vocab, root_dir=args.data_root,
+                            sources=getattr(args, "sources", None))
+        out[split] = Loader(idx, batch_size=batch_size, image_size=image_size,
+                            resize=resize,
+                            shuffle=(split == "train" and shuffle_train))
+    return out
+
+
+def _build_vocab(args, splits=("train", "val", "test")):
+    import pandas as pd
+
+    from ..data.io import filter_metadata
+    from ..utils.vocab import LabelVocabulary
+
+    frames = []
+    for split in splits:
+        meta = os.path.join(args.data_root, split, "metadata.csv")
+        if os.path.exists(meta):
+            frames.append(filter_metadata(pd.read_csv(meta),
+                                          getattr(args, "sources", None)))
+    if not frames:
+        raise SystemExit(f"no metadata.csv under {args.data_root}")
+    return LabelVocabulary.from_metadata_frames(frames)
+
+
+def _load_base(args, num_classes):
+    from ..models.pretrained import load_pretrained
+
+    return load_pretrained(args.model, num_classes,
+                           getattr(args, "checkpoint", None))
+
+
+def _base_ckpt_path(out_root, model, source):
+    return os.path.join(out_root, model, source,
+                        f"{model}_best_model_finetuned.safetensors")
+
+
+# --- subcommands -------------------------------------------------------------
+
+def cmd_process(args):
+    from ..data import process
+
+    process.process_all(args.base_dir, args.output_dir,
+                        datasets=tuple(args.datasets), splits=tuple(args.splits))
+
+
+def cmd_synth_data(args):
+    from ..data import synthetic
+
+    synthetic.make_synthetic_dataset(
+        args.output_dir, n_per_class=args.n_per_class,
+        image_size=args.image_size)
+    print(f"synthetic dataset written to {args.output_dir}")
+
+
+def cmd_train(args):
+    from ..train import loop
+
+    vocab = _build_vocab(args)
+    entry, cfg, params = _load_base(args, len(vocab))
+    loaders = _loaders_for(args, vocab, ("train", "val", "test"),
+                           batch_size=args.batch_size,
+                           image_size=cfg.image_size,
+                           resize=max(cfg.image_size, args.resize))
+    source = "_".join(args.sources) if args.sources else "all"
+    out_dir = os.path.join(args.output_dir, args.model, source)
+    summary = loop.train_base_model(
+        entry, params, loaders["train"], loaders["val"], loaders["test"],
+        vocab, out_dir=out_dir, epochs=args.epochs, lr=args.learning_rate,
+        weight_decay=args.weight_decay, model_name=args.model, source=source)
+    print(json.dumps({k: v for k, v in summary.items() if k != "history"},
+                     indent=2, default=str))
+
+
+def _attack_loaders_and_model(args):
+    import jax
+
+    from ..attacks.common import Normalizer
+    from ..models.registry import get_normalization
+    from ..utils.vocab import LabelVocabulary
+
+    mapping = os.path.join(os.path.dirname(args.model_path), "class_mappings.txt")
+    vocab = (LabelVocabulary.load(mapping) if os.path.exists(mapping)
+             else _build_vocab(args))
+    from ..models.pretrained import load_pretrained
+    from ..utils import checkpoint as ckpt
+
+    entry, cfg, params = load_pretrained(args.model, len(vocab), None)
+    if args.model_path.endswith(".safetensors"):
+        params, _ = ckpt.load_pytree(args.model_path)
+    else:
+        entry, cfg, params = load_pretrained(args.model, len(vocab),
+                                             args.model_path)
+    params = jax.device_put(params)
+    normalize = Normalizer(*get_normalization(args.model))
+    return entry, cfg, params, vocab, normalize
+
+
+def cmd_attack(args):
+    import jax
+    import pandas as pd
+
+    from ..attacks import generate, whitebox
+    from ..data.io import filter_metadata
+
+    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args)
+    source = "_".join(args.sources) if args.sources else "all"
+
+    attacks = {}
+    if "fgsm" in args.attacks:
+        f = whitebox.make_fgsm(entry.apply, cfg, eps=args.epsilon,
+                               normalize=normalize)
+        attacks["fgsm"] = lambda p, im, lb, rng, _f=f: _f(p, im, lb)
+    if "pgd" in args.attacks:
+        attacks["pgd"] = whitebox.make_pgd(
+            entry.apply, cfg, eps=args.epsilon, alpha=args.alpha,
+            steps=args.steps, normalize=normalize)
+
+    loaders = _loaders_for(args, vocab, args.splits,
+                           batch_size=args.batch_size,
+                           image_size=cfg.image_size, shuffle_train=False)
+    for split in args.splits:
+        loader = loaders[split]
+        if loader is None:
+            print(f"skip {split}: no metadata")
+            continue
+        clean_meta = filter_metadata(
+            pd.read_csv(os.path.join(args.data_root, split, "metadata.csv")),
+            args.sources)
+        for name, fn in attacks.items():
+            out_dir = generate.attack_output_dir(
+                args.output_dir, args.model, source, split, name)
+            meta = generate.generate_adversarial_split(
+                fn, params, loader, out_dir=out_dir, clean_metadata=clean_meta,
+                rng=jax.random.key(args.seed))
+            print(f"{name} {split}: {len(meta)} adversarial images -> {out_dir}")
+
+
+def cmd_autoattack(args):
+    import jax
+    import pandas as pd
+
+    from ..attacks import autoattack as aa
+    from ..attacks import generate
+    from ..data.io import filter_metadata
+
+    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args)
+    source = "_".join(args.sources) if args.sources else "all"
+    suite = aa.make_autoattack(
+        entry.apply, cfg,
+        aa.AutoAttackConfig(eps=args.epsilon, n_iter=args.n_iter,
+                            square_queries=args.square_queries,
+                            attacks=tuple(args.suite)),
+        normalize=normalize)
+
+    loaders = _loaders_for(args, vocab, args.splits,
+                           batch_size=args.batch_size,
+                           image_size=cfg.image_size, shuffle_train=False)
+    for split in args.splits:
+        loader = loaders[split]
+        if loader is None:
+            continue
+        clean_meta = filter_metadata(
+            pd.read_csv(os.path.join(args.data_root, split, "metadata.csv")),
+            args.sources)
+        out_dir = generate.attack_output_dir(
+            args.output_dir, args.model, source, split, "autoattack")
+        meta = generate.generate_adversarial_split(
+            suite, params, loader, out_dir=out_dir, clean_metadata=clean_meta,
+            rng=jax.random.key(args.seed))
+        print(f"autoattack {split}: {len(meta)} images -> {out_dir}")
+
+
+def cmd_patch_attack(args):
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    from ..attacks import generate
+    from ..attacks import patch as patch_mod
+    from ..data.io import filter_metadata
+
+    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args)
+    source = "_".join(args.sources) if args.sources else "all"
+    rng = jax.random.key(args.seed)
+
+    loaders = _loaders_for(args, vocab, args.splits,
+                           batch_size=args.batch_size,
+                           image_size=cfg.image_size, shuffle_train=False)
+    for patch_type in args.patch_type:
+        pcfg = patch_mod.PatchConfig(
+            patch_size=args.patch_size, shape=patch_type,
+            rotation_max_deg=args.rotation_max, scale_min=args.scale_min,
+            scale_max=args.scale_max, learning_rate=args.learning_rate,
+            iters=args.max_iter, batch_size=args.batch_size,
+            targeted=args.targeted)
+        train_fn = patch_mod.make_train_patch(entry.apply, cfg, pcfg,
+                                              normalize=normalize)
+        apply_fn = patch_mod.make_apply_patch(pcfg)
+
+        for split in args.splits:
+            loader = loaders[split]
+            if loader is None:
+                continue
+            # training subset (reference patch_sample_size, patch_attack.py:178)
+            xs, ys, n = [], [], 0
+            for b in loader:
+                keep = b.valid > 0
+                xs.append(b.images[keep].astype(np.float32) / 255.0)
+                ys.append(b.labels[keep])
+                n += int(keep.sum())
+                if n >= args.patch_sample_size:
+                    break
+            images = np.concatenate(xs)[: args.patch_sample_size]
+            labels = np.concatenate(ys)[: args.patch_sample_size]
+            patch, losses = train_fn(params, images, labels,
+                                     jax.random.fold_in(rng, 0))
+            print(f"{patch_type} {split}: patch trained "
+                  f"(final loss {float(losses[-1]):.4f})")
+
+            def attack(p, im, lb, r, _patch=patch, _apply=apply_fn):
+                r_s, r_a = jax.random.split(r)
+                scale = float(jax.random.uniform(
+                    r_s, (), minval=args.scale_min_apply,
+                    maxval=args.scale_max_apply))
+                return _apply(im, _patch, r_a, scale)
+
+            clean_meta = filter_metadata(
+                pd.read_csv(os.path.join(args.data_root, split,
+                                         "metadata.csv")), args.sources)
+            out_dir = generate.attack_output_dir(
+                args.output_dir, args.model, source, split,
+                f"patch_{patch_type}")
+            meta = generate.generate_adversarial_split(
+                attack, params, loader, out_dir=out_dir,
+                clean_metadata=clean_meta, rng=jax.random.fold_in(rng, 1))
+            print(f"patch_{patch_type} {split}: {len(meta)} images")
+
+
+def cmd_rp2_attack(args):
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    from ..attacks import generate, rp2
+    from ..data.io import filter_metadata
+
+    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args)
+    source = "_".join(args.sources) if args.sources else "all"
+    rng = jax.random.key(args.seed)
+    pcfg = rp2.rp2_config(patch_size=args.patch_size,
+                          image_size=cfg.image_size, iters=args.max_iter,
+                          learning_rate=args.learning_rate,
+                          batch_size=args.batch_size)
+
+    loaders = _loaders_for(args, vocab, args.splits,
+                           batch_size=args.batch_size,
+                           image_size=cfg.image_size, shuffle_train=False)
+    for split in args.splits:
+        loader = loaders[split]
+        if loader is None:
+            continue
+        xs, ys = [], []
+        for b in loader:
+            keep = b.valid > 0
+            xs.append(b.images[keep].astype(np.float32) / 255.0)
+            ys.append(b.labels[keep])
+        images, labels = np.concatenate(xs), np.concatenate(ys)
+
+        patches = rp2.train_rp2_patches(
+            entry.apply, cfg, params, images[: args.patch_sample_size],
+            labels[: args.patch_sample_size], cfg=pcfg, normalize=normalize,
+            rng=rng)
+        patch_dir = os.path.join(args.output_dir, args.model, source, split,
+                                 "rp2", "patches")
+        rp2.save_class_patches(patches, patch_dir, cfg=pcfg,
+                               class_names={i: c for i, c
+                                            in enumerate(vocab.classes)})
+        if not patches:
+            print(f"rp2 {split}: no class had enough samples")
+            continue
+
+        apply_fn = rp2.make_sign_constrained_apply(pcfg)
+        patch_arr = np.stack([patches.get(c, np.full(
+            (pcfg.patch_size, pcfg.patch_size, 3), 0.5, np.float32))
+            for c in range(len(vocab))])
+
+        def attack(p, im, lb, r, _pa=jax.device_put(patch_arr)):
+            # per-example patch of its own class (physical per-sign sticker)
+            sel = _pa[lb]
+            import jax.numpy as jnp
+
+            def one(img, pt, key):
+                return apply_fn(img[None], pt, key, pcfg.scale_max)[0]
+
+            keys = jax.random.split(r, im.shape[0])
+            return jax.vmap(one)(im, sel, keys)
+
+        clean_meta = filter_metadata(
+            pd.read_csv(os.path.join(args.data_root, split, "metadata.csv")),
+            args.sources)
+        out_dir = generate.attack_output_dir(
+            args.output_dir, args.model, source, split, "rp2")
+        meta = generate.generate_adversarial_split(
+            attack, params, loader, out_dir=out_dir, clean_metadata=clean_meta,
+            rng=jax.random.fold_in(rng, 7))
+        print(f"rp2 {split}: {len(meta)} images -> {out_dir}")
+
+
+def cmd_train_lora(args):
+    import jax
+
+    from ..data.loader import Loader, MetadataIndex
+    from ..ops import lora
+    from ..train import loop
+    from ..utils.vocab import LabelVocabulary
+
+    mapping = os.path.join(os.path.dirname(args.model_path),
+                           "class_mappings.txt")
+    vocab = (LabelVocabulary.load(mapping) if os.path.exists(mapping)
+             else _build_vocab(args))
+    entry, cfg, params, vocab2, normalize = _attack_loaders_and_model(args)
+    source = "_".join(args.sources) if args.sources else "all"
+
+    all_results = {}
+    for attack in args.attacks:
+        adv_dir = os.path.join(args.adv_root, args.model, source, "train",
+                               attack)
+        meta = os.path.join(adv_dir, "metadata.csv")
+        if not os.path.exists(meta):
+            print(f"skip {attack}: {meta} missing")
+            continue
+        idx = MetadataIndex(meta, vocab, root_dir=adv_dir)
+        train_loader = Loader(idx, batch_size=args.batch_size,
+                              image_size=cfg.image_size, resize=cfg.image_size,
+                              shuffle=True)
+        val_dir = os.path.join(args.adv_root, args.model, source, "val", attack)
+        val_meta = os.path.join(val_dir, "metadata.csv")
+        val_loader = (Loader(MetadataIndex(val_meta, vocab, root_dir=val_dir),
+                             batch_size=args.batch_size,
+                             image_size=cfg.image_size, resize=cfg.image_size)
+                      if os.path.exists(val_meta) else train_loader)
+
+        for rank in args.ranks:
+            lcfg = lora.LoRAConfig(rank=rank, alpha=args.lora_alpha,
+                                   targets=entry.lora_targets(cfg),
+                                   dropout=args.lora_dropout)
+            out_dir = os.path.join(args.output_dir, args.model, source, attack)
+            res = loop.train_lora_adapter(
+                entry, params, lcfg, train_loader, val_loader, vocab,
+                out_dir=out_dir, epochs=args.epochs, lr=args.learning_rate,
+                model_name=args.model, rng=jax.random.key(args.seed))
+            res.pop("best_trainable", None)
+            all_results.setdefault(attack, {})[f"rank{rank}"] = {
+                k: v for k, v in res.items() if k != "history"}
+            print(f"{attack} rank{rank}: best val acc "
+                  f"{res['best_val_accuracy']:.4f}")
+        results_path = os.path.join(args.output_dir, args.model, source,
+                                    attack, "results.json")
+        os.makedirs(os.path.dirname(results_path), exist_ok=True)
+        with open(results_path, "w") as f:
+            json.dump(all_results[attack], f, indent=2, default=str)
+
+    global_path = os.path.join(args.output_dir, "global_results.json")
+    with open(global_path, "w") as f:
+        json.dump(all_results, f, indent=2, default=str)
+
+
+def cmd_eval_compose(args):
+    from ..attacks.common import Normalizer
+    from ..data.loader import Loader, MetadataIndex
+    from ..eval import compose
+    from ..models.registry import get_normalization
+    from ..utils.vocab import LabelVocabulary
+
+    mapping = os.path.join(os.path.dirname(args.model_path),
+                           "class_mappings.txt")
+    vocab = (LabelVocabulary.load(mapping) if os.path.exists(mapping)
+             else _build_vocab(args))
+    entry, cfg, params, _, normalize = _attack_loaders_and_model(args)
+    source = "_".join(args.sources) if args.sources else "all"
+
+    # clean test loader + auto-discovered attack test sets
+    loaders = {}
+    clean_meta = os.path.join(args.data_root, "test", "metadata.csv")
+    if os.path.exists(clean_meta):
+        loaders["clean"] = Loader(
+            MetadataIndex(clean_meta, vocab, root_dir=args.data_root,
+                          sources=args.sources),
+            batch_size=args.batch_size, image_size=cfg.image_size)
+    adv_base = os.path.join(args.adv_root, args.model, source, "test")
+    if os.path.isdir(adv_base):
+        for attack in sorted(os.listdir(adv_base)):
+            meta = os.path.join(adv_base, attack, "metadata.csv")
+            if os.path.exists(meta):
+                loaders[attack] = Loader(
+                    MetadataIndex(meta, vocab,
+                                  root_dir=os.path.join(adv_base, attack)),
+                    batch_size=args.batch_size, image_size=cfg.image_size,
+                    resize=cfg.image_size)
+
+    adapters = compose.find_lora_adapters(
+        os.path.join(args.lora_root, args.model, source), args.attacks,
+        args.rank)
+    if not adapters:
+        print("warning: no adapters found; evaluating base only")
+
+    results = compose.run_composability_eval(
+        entry, params, adapters, loaders, len(vocab),
+        test_mode=args.test_mode, normalize=normalize,
+        out_path=os.path.join(args.output_dir, "test_results.json"))
+    print(compose.format_summary_table(results))
+
+
+# --- parser ------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="apvt-lora",
+        description="TPU-native LoRA-robustness pipeline for vision "
+                    "transformers")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("process", help="unify raw traffic-sign datasets")
+    sp.add_argument("--base_dir", default="./Datasets")
+    sp.add_argument("--output_dir", default="./processed")
+    from ..data.process import PROCESSORS
+
+    sp.add_argument("--datasets", nargs="+", default=list(PROCESSORS),
+                    choices=list(PROCESSORS))
+    sp.add_argument("--splits", nargs="+", default=["train", "val", "test"],
+                    choices=["train", "val", "test"])
+    sp.set_defaults(fn=cmd_process)
+
+    sp = sub.add_parser("synth-data", help="generate a synthetic dataset")
+    sp.add_argument("--output_dir", required=True)
+    sp.add_argument("--n_per_class", type=int, default=8)
+    sp.add_argument("--image_size", type=int, default=64)
+    sp.set_defaults(fn=cmd_synth_data)
+
+    def model_args(sp, *, ckpt=False):
+        sp.add_argument("--model", default="google_vit")
+        if ckpt:
+            sp.add_argument("--model_path", required=True,
+                            help="base checkpoint (.safetensors or torch .pth)")
+        sp.add_argument("--batch_size", type=int, default=32)
+        sp.add_argument("--seed", type=int, default=42)
+
+    sp = sub.add_parser("train", help="base fine-tune")
+    _common_data_args(sp)
+    model_args(sp)
+    sp.add_argument("--checkpoint", default=None,
+                    help="pretrained weights to start from (local file)")
+    sp.add_argument("--output_dir", default="./train_out")
+    sp.add_argument("--epochs", type=int, default=1)
+    sp.add_argument("--learning_rate", type=float, default=1e-4)
+    sp.add_argument("--weight_decay", type=float, default=1e-4)
+    sp.add_argument("--resize", type=int, default=256)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("attack", help="FGSM/PGD adversarial generation")
+    _common_data_args(sp)
+    model_args(sp, ckpt=True)
+    sp.add_argument("--output_dir", default="./adv")
+    sp.add_argument("--attacks", nargs="+", default=["fgsm", "pgd"],
+                    choices=["fgsm", "pgd"])
+    sp.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    sp.add_argument("--epsilon", type=float, default=8 / 255)
+    sp.add_argument("--alpha", type=float, default=3 / 255)
+    sp.add_argument("--steps", type=int, default=30)
+    sp.set_defaults(fn=cmd_attack)
+
+    sp = sub.add_parser("autoattack", help="AutoAttack standard suite")
+    _common_data_args(sp)
+    model_args(sp, ckpt=True)
+    sp.add_argument("--output_dir", default="./adv")
+    sp.add_argument("--splits", nargs="+", default=["test"])
+    sp.add_argument("--epsilon", type=float, default=0.031)
+    sp.add_argument("--n_iter", type=int, default=100)
+    sp.add_argument("--square_queries", type=int, default=5000)
+    sp.add_argument("--suite", nargs="+",
+                    default=["apgd-ce", "apgd-t", "fab-t", "square"])
+    sp.set_defaults(fn=cmd_autoattack)
+
+    sp = sub.add_parser("patch-attack", help="EOT adversarial patch")
+    _common_data_args(sp)
+    model_args(sp, ckpt=True)
+    sp.add_argument("--output_dir", default="./adv")
+    sp.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    sp.add_argument("--patch_type", nargs="+", default=["circle", "square"],
+                    choices=["circle", "square"])
+    sp.add_argument("--patch_size", type=int, default=24)
+    sp.add_argument("--patch_sample_size", type=int, default=500)
+    sp.add_argument("--scale_min", type=float, default=0.05)
+    sp.add_argument("--scale_max", type=float, default=1.0)
+    sp.add_argument("--rotation_max", type=float, default=22.5)
+    sp.add_argument("--learning_rate", type=float, default=5.0)
+    sp.add_argument("--max_iter", type=int, default=500)
+    sp.add_argument("--targeted", action="store_true")
+    sp.add_argument("--scale_min_apply", type=float, default=0.1)
+    sp.add_argument("--scale_max_apply", type=float, default=0.5)
+    sp.set_defaults(fn=cmd_patch_attack)
+
+    sp = sub.add_parser("rp2-attack", help="per-class physical perturbation")
+    _common_data_args(sp)
+    model_args(sp, ckpt=True)
+    sp.add_argument("--output_dir", default="./adv")
+    sp.add_argument("--splits", nargs="+", default=["test"])
+    sp.add_argument("--patch_size", type=int, default=32)
+    sp.add_argument("--patch_sample_size", type=int, default=500)
+    sp.add_argument("--learning_rate", type=float, default=0.1)
+    sp.add_argument("--max_iter", type=int, default=500)
+    sp.set_defaults(fn=cmd_rp2_attack)
+
+    sp = sub.add_parser("train-lora", help="per-attack LoRA defense")
+    _common_data_args(sp)
+    model_args(sp, ckpt=True)
+    sp.add_argument("--adv_root", default="./adv")
+    sp.add_argument("--output_dir", default="./loras")
+    sp.add_argument("--attacks", nargs="+", default=["fgsm", "pgd"])
+    sp.add_argument("--ranks", nargs="+", type=int, default=[8, 16, 32])
+    sp.add_argument("--lora_alpha", type=float, default=16.0)
+    sp.add_argument("--lora_dropout", type=float, default=0.1)
+    sp.add_argument("--epochs", type=int, default=4)
+    sp.add_argument("--learning_rate", type=float, default=1e-4)
+    sp.set_defaults(fn=cmd_train_lora)
+
+    sp = sub.add_parser("eval-compose", help="LoRA composability matrix")
+    _common_data_args(sp)
+    model_args(sp, ckpt=True)
+    sp.add_argument("--adv_root", default="./adv")
+    sp.add_argument("--lora_root", default="./loras")
+    sp.add_argument("--output_dir", default="./eval_out")
+    sp.add_argument("--attacks", nargs="+", default=["fgsm", "pgd"])
+    sp.add_argument("--rank", type=int, default=8)
+    sp.add_argument("--test_mode", default="all",
+                    choices=["all", "base_only", "individual_only",
+                             "combinations_only"])
+    sp.set_defaults(fn=cmd_eval_compose)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
