@@ -1,0 +1,9 @@
+"""Pallas TPU kernels — the framework's hand-written native compute layer.
+
+The reference has no native code of its own (SURVEY.md §2: CUDA lives inside
+torch wheels); here the "native layer" for the compute path is Mosaic/Pallas.
+Kernels are opt-in per model config and always have an XLA-composed
+reference implementation to fall back to (and to test against).
+"""
+
+from .attention import fused_attention  # noqa: F401

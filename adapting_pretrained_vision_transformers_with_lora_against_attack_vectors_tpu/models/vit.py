@@ -41,6 +41,9 @@ class ViTConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     remat: bool = False  # rematerialize each block on the backward pass
+    # Pallas whole-head-in-VMEM attention (kernels/attention.py): scores
+    # never touch HBM in either direction. TPU only — leave False on CPU.
+    use_fused_attention: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -132,7 +135,12 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
     q = dense(bp["attn"]["q"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
     k = dense(bp["attn"]["k"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
     v = dense(bp["attn"]["v"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
-    attn_out = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+    if cfg.use_fused_attention:
+        from ..kernels.attention import fused_attention
+
+        attn_out = fused_attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+    else:
+        attn_out = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
     x = x + dense(bp["attn"]["o"], attn_out, compute_dtype=cd)
 
     h = layer_norm(bp["ln2"], x, eps=eps)

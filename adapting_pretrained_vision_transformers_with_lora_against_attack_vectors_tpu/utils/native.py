@@ -1,0 +1,133 @@
+"""ctypes binding for the C++ host-side image-ops library (``native/``).
+
+The compute path is JAX/XLA/Pallas; this native layer serves the *host*
+data path — batched resize/crop/normalize in C++ threads (the role OpenCV's
+C++ plays under the reference's Python, SURVEY.md §2 "native-adjacent").
+
+Loading order: prebuilt ``libapvt_native.so`` next to ``native/`` → build it
+on first use with ``make`` (g++ is in the image) → graceful ``None`` so
+callers fall back to PIL. Set ``APVT_NATIVE=0`` to disable entirely.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    f32 = ctypes.POINTER(ctypes.c_float)
+    i = ctypes.c_int
+    lib.apvt_resize_center_crop.argtypes = [u8, i, i, i, i, u8]
+    lib.apvt_batch_resize_center_crop.argtypes = [u8, i, i, i, i, i, u8, i]
+    lib.apvt_resize_with_padding.argtypes = [u8, i, i, i, u8]
+    lib.apvt_batch_u8_to_f32_normalize.argtypes = [u8, i, i, i, f32, f32, f32, i]
+    return lib
+
+
+def load(*, build: bool = True) -> Optional[ctypes.CDLL]:
+    """The library handle, building it on first use; None if unavailable."""
+    global _LIB, _TRIED
+    if os.environ.get("APVT_NATIVE", "1") == "0":
+        return None
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        d = _native_dir()
+        so = os.path.join(d, "libapvt_native.so")
+        try:
+            if not os.path.exists(so) and build and os.path.isdir(d):
+                subprocess.run(["make", "-C", d], check=True,
+                               capture_output=True, timeout=120)
+            if os.path.exists(so):
+                _LIB = _configure(ctypes.CDLL(so))
+        except (OSError, subprocess.SubprocessError):
+            _LIB = None
+        return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def resize_center_crop(img: np.ndarray, resize: int, crop: int) -> np.ndarray:
+    """(H, W, 3) uint8 -> (crop, crop, 3): shorter-side bilinear resize +
+    center crop (torchvision eval-pipeline geometry)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.shape[:2] == (crop, crop):  # eval_transform_pil skips resize
+        return img.copy()
+    out = np.empty((crop, crop, 3), np.uint8)
+    lib.apvt_resize_center_crop(_u8ptr(img), img.shape[0], img.shape[1],
+                                resize, crop, _u8ptr(out))
+    return out
+
+
+def batch_resize_center_crop(imgs: np.ndarray, resize: int, crop: int,
+                             *, max_threads: int = 8) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N, crop, crop, 3), thread-pooled."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    n, h, w, _ = imgs.shape
+    if (h, w) == (crop, crop):  # eval_transform_pil skips resize
+        return imgs.copy()
+    out = np.empty((n, crop, crop, 3), np.uint8)
+    lib.apvt_batch_resize_center_crop(_u8ptr(imgs), n, h, w, resize, crop,
+                                      _u8ptr(out), max_threads)
+    return out
+
+
+def resize_with_padding(img: np.ndarray, size: int) -> np.ndarray:
+    """(H, W, 3) uint8 -> (size, size, 3): aspect-preserving + centered zero
+    pad (the ETL geometry, Process.py:13-26)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty((size, size, 3), np.uint8)
+    lib.apvt_resize_with_padding(_u8ptr(img), img.shape[0], img.shape[1],
+                                 size, _u8ptr(out))
+    return out
+
+
+def batch_normalize(imgs: np.ndarray, mean, std,
+                    *, max_threads: int = 8) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> float32 ``(x/255 - mean)/std`` in C++ threads."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    n, h, w, _ = imgs.shape
+    mean_a = np.ascontiguousarray(mean, np.float32)
+    std_a = np.ascontiguousarray(std, np.float32)
+    out = np.empty((n, h, w, 3), np.float32)
+    lib.apvt_batch_u8_to_f32_normalize(
+        _u8ptr(imgs), n, h, w,
+        mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_threads)
+    return out
