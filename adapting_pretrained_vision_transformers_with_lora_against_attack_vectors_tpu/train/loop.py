@@ -95,8 +95,12 @@ def fit(
     mesh=None,
     on_epoch_end: Optional[Callable[[int, dict], None]] = None,
     log: Callable[[str], None] = print,
+    metrics=None,
 ) -> FitResult:
-    """Shared epoch engine: train ``epochs`` epochs, track best-on-val params."""
+    """Shared epoch engine: train ``epochs`` epochs, track best-on-val params.
+
+    ``metrics``: optional :class:`utils.observability.MetricsLogger` — each
+    epoch record is appended as a JSONL event."""
     train_step = make_train_step(forward, tx, normalize=normalize)
     eval_step = make_eval_step(forward, num_classes, normalize=normalize)
 
@@ -135,6 +139,9 @@ def fit(
             f"acc {rec['train_accuracy']:.4f}"
             + (f" val_acc {rec.get('val_accuracy', 0):.4f}" if val_loader else "")
             + f" ({rec['seconds']:.1f}s)")
+        if metrics is not None:
+            metrics.log("epoch", step=epoch, **{k: v for k, v in rec.items()
+                                                if k != "epoch"})
         if on_epoch_end is not None:
             on_epoch_end(epoch, rec)
 
@@ -180,9 +187,14 @@ def train_base_model(
     os.makedirs(out_dir, exist_ok=True)
     vocab.save(os.path.join(out_dir, "class_mappings.txt"))
 
-    result = fit(forward, params, tx, train_loader, val_loader,
-                 epochs=epochs, num_classes=len(vocab), normalize=normalize,
-                 mesh=mesh, log=log)
+    from ..utils.observability import MetricsLogger
+
+    with MetricsLogger(os.path.join(out_dir, "metrics.jsonl")) as metrics:
+        metrics.log("train_start", model=model_name, source=source,
+                    epochs=epochs, lr=lr)
+        result = fit(forward, params, tx, train_loader, val_loader,
+                     epochs=epochs, num_classes=len(vocab),
+                     normalize=normalize, mesh=mesh, log=log, metrics=metrics)
 
     best_path = os.path.join(out_dir, f"{model_name}_best_model_finetuned.safetensors")
     checkpoint.save_pytree(result.best_params, best_path,

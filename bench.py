@@ -10,10 +10,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 `vs_baseline` compares against an estimated PyTorch-GPU reference throughput
 of 110 imgs/s/chip. The reference publishes no numbers (SURVEY.md §6), so the
-estimate is a roofline derivation: ViT-B/16 is ~17.6 GFLOPs/img forward,
-PGD-10 costs 10×(fwd+bwd) ≈ 530 GFLOPs/img; an A100 at a generous 40% MFU in
-the reference's per-batch-dispatch torchattacks loop sustains ~60 TFLOPs →
-~110 imgs/s. Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS env vars.
+estimate is a roofline derivation, deliberately generous to the baseline:
+ViT-B/16 at 224px is ~35 GFLOPs/img forward (2 FLOPs/MAC convention, 197
+tokens), PGD-10 costs 10x(fwd + input-bwd) ~ 1.06 TFLOPs/img; an A100 running
+the reference's torchattacks loop with bf16 autocast at ~37% MFU (~115
+TFLOPs) gives ~110 imgs/s. The reference actually runs eager float32
+(whitebox_attacks.py has no autocast), which lands nearer 40-45 imgs/s — the
+110 figure is the strong version of the baseline. Measured context for this
+implementation: ~78 imgs/s/chip on one v5e chip = ~42% MFU of its 197-TFLOP
+bf16 peak (the kernel-level ceiling: measured chained single matmuls sustain
+~85-110 TFLOPs through the remote tunnel).
+Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS env vars.
 """
 
 from __future__ import annotations
