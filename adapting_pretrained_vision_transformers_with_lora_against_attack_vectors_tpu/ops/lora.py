@@ -65,18 +65,35 @@ def init(rng: jax.Array, params, cfg: LoRAConfig, *, dtype=jnp.float32) -> dict:
     return adapter
 
 
-def attach(params, adapter: Mapping, cfg: LoRAConfig):
-    """Insert adapter factors into the param tree for the unmerged compute path."""
+def attach(params, adapter: Mapping, cfg: LoRAConfig, *,
+           dropout_rng: jax.Array | None = None):
+    """Insert adapter factors into the param tree for the unmerged compute path.
+
+    ``dropout_rng``: when given (training form), each target also carries a
+    PRNG key + rate so ``ops.nn.dense`` applies inverted dropout to the
+    adapter-branch input ``x`` — PEFT's ``lora_dropout`` semantics
+    (reference train_loras.py:79-95, rate 0.1). Pass a fresh fold of the
+    step rng every step; omit for the eval form (identity)."""
     out = params
-    for path, fac in adapter.items():
+    for i, (path, fac) in enumerate(adapter.items()):
         # Scale carries the stacked-layer leading axes of the factors so that
         # lax.scan over stacked blocks can slice it alongside a/b.
         lead = fac["a"].shape[:-2]
         s = jnp.full(lead, cfg.scale, jnp.float32)
+        key = (jax.random.fold_in(dropout_rng, i)
+               if dropout_rng is not None and cfg.dropout > 0 else None)
 
-        def add(sub, fac=fac, s=s):
+        def add(sub, fac=fac, s=s, key=key, lead=lead):
             new = dict(sub)
             new["lora_a"], new["lora_b"], new["lora_s"] = fac["a"], fac["b"], s
+            if key is not None:
+                # per-stacked-layer keys so scan slices a distinct key per block
+                import math
+
+                n_lead = math.prod(lead) if lead else 1
+                keys = jax.random.split(key, n_lead)
+                new["lora_rng"] = keys.reshape(lead) if lead else keys[0]
+                new["lora_p"] = jnp.full(lead, cfg.dropout, jnp.float32)
             return new
 
         out = trees.update_path(out, path, add)

@@ -44,7 +44,15 @@ def dense(p: Params, x: jax.Array, *, compute_dtype=None, accum_dtype=jnp.float3
     if "lora_a" in p:
         a = p["lora_a"].astype(cd)
         b = p["lora_b"].astype(cd)
-        xa = jnp.dot(x.astype(cd), a, preferred_element_type=accum_dtype)
+        xb = x
+        if "lora_rng" in p:
+            # PEFT lora_dropout: inverted dropout on the adapter-branch input
+            # only (the frozen W path sees undropped x). Keys/rates are leaves
+            # inserted by ops.lora.attach(dropout_rng=...), training form only.
+            keep = 1.0 - p["lora_p"]
+            mask = jax.random.bernoulli(p["lora_rng"], keep, x.shape)
+            xb = x * (mask / keep).astype(x.dtype)
+        xa = jnp.dot(xb.astype(cd), a, preferred_element_type=accum_dtype)
         y = y + p["lora_s"].astype(accum_dtype) * jnp.dot(
             xa.astype(cd), b, preferred_element_type=accum_dtype
         )

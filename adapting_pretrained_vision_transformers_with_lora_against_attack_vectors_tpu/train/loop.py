@@ -96,12 +96,15 @@ def fit(
     on_epoch_end: Optional[Callable[[int, dict], None]] = None,
     log: Callable[[str], None] = print,
     metrics=None,
+    step_rng=None,
 ) -> FitResult:
     """Shared epoch engine: train ``epochs`` epochs, track best-on-val params.
 
     ``metrics``: optional :class:`utils.observability.MetricsLogger` — each
-    epoch record is appended as a JSONL event."""
-    train_step = make_train_step(forward, tx, normalize=normalize)
+    epoch record is appended as a JSONL event. ``step_rng``: see
+    :func:`train.steps.make_train_step` (training-time stochastic branches)."""
+    train_step = make_train_step(forward, tx, normalize=normalize,
+                                 step_rng=step_rng)
     eval_step = make_eval_step(forward, num_classes, normalize=normalize)
 
     state = TrainState.create(trainable, tx)
@@ -252,13 +255,17 @@ def train_lora_adapter(
     normalize = Normalizer(*get_normalization(model_name))
     rng = rng if rng is not None else jax.random.key(0)
 
-    adapter = lora.init(rng, base_params, lora_cfg)
+    r_init, r_drop = jax.random.split(rng)
+    adapter = lora.init(r_init, base_params, lora_cfg)
     trainable: dict = {"adapter": adapter}
     if train_head:
         trainable["head"] = base_params["head"]
 
-    def forward(train_tree, x):
-        p = lora.attach(base_params, train_tree["adapter"], lora_cfg)
+    def forward(train_tree, x, drop_rng=None):
+        # drop_rng is the per-step key from make_train_step: training passes
+        # it (PEFT lora_dropout on the adapter branch); eval omits it.
+        p = lora.attach(base_params, train_tree["adapter"], lora_cfg,
+                        dropout_rng=drop_rng)
         if train_head:
             p = dict(p)
             p["head"] = train_tree["head"]
@@ -267,7 +274,8 @@ def train_lora_adapter(
     tx = optim.lora_adam(lr)
     result = fit(forward, trainable, tx, train_loader, val_loader,
                  epochs=epochs, num_classes=len(vocab), normalize=normalize,
-                 mesh=mesh, log=log)
+                 mesh=mesh, log=log,
+                 step_rng=r_drop if lora_cfg.dropout > 0 else None)
 
     r = lora_cfg.rank
     from ..ops import peft_io

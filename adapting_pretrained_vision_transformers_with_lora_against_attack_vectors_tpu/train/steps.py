@@ -43,10 +43,11 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(
-    forward: Callable[[Any, jax.Array], jax.Array],
+    forward: Callable[..., jax.Array],
     tx: optax.GradientTransformation,
     *,
     normalize: Optional[Normalizer] = IMAGENET,
+    step_rng: Optional[jax.Array] = None,
 ) -> Callable:
     """Build the jitted ``(state, images, labels, valid) -> (state, metrics)``.
 
@@ -54,14 +55,21 @@ def make_train_step(
     pass ``lambda p, x: entry.apply(cfg, p, x)``; for LoRA training pass a
     closure that attaches the adapter to frozen base params.
 
+    ``step_rng``: optional base PRNG key — when given, ``forward`` is called
+    as ``forward(trainable, x, rng)`` with ``rng = fold_in(step_rng, step)``
+    (stochastic training-time branches such as LoRA dropout).
+
     ``valid``: float mask (B,) — 1 for real samples, 0 for padding.
     Metrics are *sums* (loss_sum, correct, count) so they accumulate across
     batches and reduce exactly.
     """
 
-    def loss_fn(trainable, images, labels, valid):
+    def loss_fn(trainable, images, labels, valid, step):
         x = normalize(images) if normalize is not None else images
-        logits = forward(trainable, x)
+        if step_rng is not None:
+            logits = forward(trainable, x, jax.random.fold_in(step_rng, step))
+        else:
+            logits = forward(trainable, x)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         loss = (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
         preds = jnp.argmax(logits, axis=-1)
@@ -71,7 +79,7 @@ def make_train_step(
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, labels, valid):
         (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, labels, valid)
+            state.params, images, labels, valid, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)

@@ -96,3 +96,46 @@ def test_param_count_matches_reference_scale():
     lcfg = lora.LoRAConfig(rank=8, alpha=16.0, targets=vit.LORA_TARGETS_DEFAULT)
     adapter = lora.init(jax.random.key(1), params, lcfg)
     assert lora.num_params(adapter) == 12 * 4 * 2 * 768 * 8
+
+
+def test_lora_dropout_training_form(rng):
+    """attach(dropout_rng=...) drops adapter-branch inputs only: the frozen-W
+    path is unaffected, eval form is deterministic, different keys give
+    different outputs, and zero-dropout matches the eval form exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
+
+    cfg = vit.VIT_TEST
+    params = vit.init(rng, cfg)
+    lcfg = lora.LoRAConfig(rank=4, alpha=8.0, dropout=0.5,
+                           targets=("blocks/attn/q", "head"))
+    adapter = jax.tree.map(lambda v: v + 0.05,
+                           lora.init(jax.random.fold_in(rng, 1), params, lcfg))
+    x = jax.random.uniform(jax.random.fold_in(rng, 2), (3, 32, 32, 3))
+
+    eval_out = vit.apply(cfg, lora.attach(params, adapter, lcfg), x)
+    t1 = vit.apply(cfg, lora.attach(params, adapter, lcfg,
+                                    dropout_rng=jax.random.key(0)), x)
+    t2 = vit.apply(cfg, lora.attach(params, adapter, lcfg,
+                                    dropout_rng=jax.random.key(1)), x)
+    assert float(jnp.abs(t1 - t2).max()) > 1e-6  # stochastic across keys
+    assert float(jnp.abs(t1 - eval_out).max()) > 1e-6  # differs from eval
+
+    # dropout=0 short-circuits to the eval form even with a key
+    lcfg0 = lora.LoRAConfig(rank=4, alpha=8.0, dropout=0.0,
+                            targets=lcfg.targets)
+    d0 = vit.apply(cfg, lora.attach(params, adapter, lcfg0,
+                                    dropout_rng=jax.random.key(0)), x)
+    e0 = vit.apply(cfg, lora.attach(params, adapter, lcfg0), x)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(e0), atol=1e-7)
+
+    # with the adapter zeroed the dropout has no effect at all (W path clean)
+    zero_ad = jax.tree.map(jnp.zeros_like, adapter)
+    za = vit.apply(cfg, lora.attach(params, zero_ad, lcfg,
+                                    dropout_rng=jax.random.key(0)), x)
+    zb = vit.apply(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(za), np.asarray(zb), atol=1e-6)
