@@ -46,3 +46,63 @@ def test_sharded_forward_matches_single_device(eight_devices):
     x_sh = pmesh.shard_batch(m, x)
     out = jax.jit(vit.apply, static_argnums=0)(cfg, params_sh, x_sh)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-3)
+
+
+def test_sharded_pgd_matches_single_device(eight_devices):
+    """The jitted PGD program under a DP mesh produces the same adversarial
+    batch as single-device execution (same rng, same projections)."""
+    from apvt_lora.attacks import whitebox
+    from apvt_lora.attacks.common import Normalizer
+
+    m = pmesh.make_mesh(pmesh.MeshSpec(data=8, model=1))
+    cfg = vit.VIT_TEST
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (16, 32, 32, 3))
+    y = jax.random.randint(jax.random.key(2), (16,), 0, cfg.num_classes)
+    run = whitebox.make_pgd(vit.apply, cfg, eps=8 / 255, alpha=3 / 255,
+                            steps=3, normalize=Normalizer((0,) * 3, (1,) * 3))
+
+    ref = run(params, x, y, jax.random.key(9))
+    x_sh, y_sh = pmesh.shard_batch(m, np.asarray(x), np.asarray(y))
+    params_sh = jax.device_put(params, pmesh.replicated(m))
+    adv = run(params_sh, x_sh, y_sh, jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(adv), atol=2e-5)
+    # result stays sharded over the data axis (no implicit gather)
+    assert adv.sharding.spec[0] == "data"
+
+
+def test_sharded_train_step_matches_single_device(eight_devices):
+    """One full train step (fwd+bwd+adamw) under DPxTP == single device."""
+    import optax
+
+    from apvt_lora.train import steps
+
+    cfg = vit.VIT_TEST
+    params = vit.init(jax.random.key(0), cfg)
+    tx = optax.adam(1e-3)
+    train = steps.make_train_step(lambda p, x: vit.apply(cfg, p, x), tx,
+                                  normalize=None)
+    images = np.random.default_rng(0).random((16, 32, 32, 3)).astype(np.float32)
+    labels = (np.arange(16) % cfg.num_classes).astype(np.int32)
+    valid = np.ones((16,), np.float32)
+
+    # build the sharded copy BEFORE the first (buffer-donating) step runs
+    m = pmesh.make_mesh(pmesh.MeshSpec(data=4, model=2))
+    params_sh = jax.device_put(params, pmesh.tree_shardings(m, params))
+    s2 = steps.TrainState.create(params_sh, tx)
+
+    # fresh copies for the reference run: device_put above may alias the
+    # original buffers as local shards, and the train step donates its state
+    params_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+    s_ref = steps.TrainState.create(params_copy, tx)
+    s_ref, m_ref = train(s_ref, jnp.asarray(images), jnp.asarray(labels),
+                         jnp.asarray(valid))
+    im_sh, lb_sh, va_sh = pmesh.shard_batch(m, images, labels, valid)
+    s2, m2 = train(s2, im_sh, lb_sh, va_sh)
+
+    np.testing.assert_allclose(float(m_ref["loss_sum"]), float(m2["loss_sum"]),
+                               rtol=1e-5)
+    # adam's first step divides by sqrt(nu)+eps, so near-zero grads amplify
+    # reduction-order noise up to ~lr; bound by 2*lr
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2.5e-3), s_ref.params, s2.params)
