@@ -107,7 +107,8 @@ def cmd_train(args):
     summary = loop.train_base_model(
         entry, params, loaders["train"], loaders["val"], loaders["test"],
         vocab, out_dir=out_dir, epochs=args.epochs, lr=args.learning_rate,
-        weight_decay=args.weight_decay, model_name=args.model, source=source)
+        weight_decay=args.weight_decay, model_name=args.model, source=source,
+        resume=args.resume)
     print(json.dumps({k: v for k, v in summary.items() if k != "history"},
                      indent=2, default=str))
 
@@ -382,14 +383,25 @@ def cmd_train_lora(args):
                       if os.path.exists(val_meta) else train_loader)
 
         for rank in args.ranks:
-            lcfg = lora.LoRAConfig(rank=rank, alpha=args.lora_alpha,
-                                   targets=entry.lora_targets(cfg),
-                                   dropout=args.lora_dropout)
-            out_dir = os.path.join(args.output_dir, args.model, source, attack)
-            res = loop.train_lora_adapter(
-                entry, params, lcfg, train_loader, val_loader, vocab,
-                out_dir=out_dir, epochs=args.epochs, lr=args.learning_rate,
-                model_name=args.model, rng=jax.random.key(args.seed))
+            # sweep-level failure isolation: one broken (attack, rank) combo
+            # must not kill the sweep (reference train_loras.py:392-395)
+            try:
+                lcfg = lora.LoRAConfig(rank=rank, alpha=args.lora_alpha,
+                                       targets=entry.lora_targets(cfg),
+                                       dropout=args.lora_dropout)
+                out_dir = os.path.join(args.output_dir, args.model, source,
+                                       attack)
+                res = loop.train_lora_adapter(
+                    entry, params, lcfg, train_loader, val_loader, vocab,
+                    out_dir=out_dir, epochs=args.epochs, lr=args.learning_rate,
+                    model_name=args.model, rng=jax.random.key(args.seed))
+            except Exception as e:  # noqa: BLE001
+                import traceback
+
+                traceback.print_exc()
+                all_results.setdefault(attack, {})[f"rank{rank}"] = {
+                    "error": str(e)}
+                continue
             res.pop("best_trainable", None)
             all_results.setdefault(attack, {})[f"rank{rank}"] = {
                 k: v for k, v in res.items() if k != "history"}
@@ -496,6 +508,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--learning_rate", type=float, default=1e-4)
     sp.add_argument("--weight_decay", type=float, default=1e-4)
     sp.add_argument("--resize", type=int, default=256)
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from {out}/resume.* if present")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("attack", help="FGSM/PGD adversarial generation")

@@ -3,7 +3,8 @@
 The split of work is deliberate: the host does only decode + resize/crop to a
 *static* shape and ships uint8; everything stochastic or fusible (normalize,
 augmentations, patch composites) happens on device inside the jitted step
-(see ``ops/image.py``). That keeps H2D traffic at 1 byte/pixel and lets XLA
+(see ``attacks.common.Normalizer`` and the jitted steps in ``train.steps``).
+That keeps H2D traffic at 1 byte/pixel and lets XLA
 fuse normalization into the first matmul.
 
 ``eval_transform_pil`` matches the reference's torchvision eval pipeline

@@ -93,25 +93,29 @@ def fit(
     num_classes: int,
     normalize: Optional[Normalizer],
     mesh=None,
-    on_epoch_end: Optional[Callable[[int, dict], None]] = None,
+    on_epoch_end: Optional[Callable[[int, dict, TrainState], None]] = None,
     log: Callable[[str], None] = print,
     metrics=None,
     step_rng=None,
+    init_state: Optional[TrainState] = None,
+    start_epoch: int = 0,
 ) -> FitResult:
     """Shared epoch engine: train ``epochs`` epochs, track best-on-val params.
 
     ``metrics``: optional :class:`utils.observability.MetricsLogger` — each
     epoch record is appended as a JSONL event. ``step_rng``: see
-    :func:`train.steps.make_train_step` (training-time stochastic branches)."""
+    :func:`train.steps.make_train_step` (training-time stochastic branches).
+    ``init_state``/``start_epoch``: resume a run mid-way (the capability the
+    reference lacks, SURVEY.md §5 checkpoint row)."""
     train_step = make_train_step(forward, tx, normalize=normalize,
                                  step_rng=step_rng)
     eval_step = make_eval_step(forward, num_classes, normalize=normalize)
 
-    state = TrainState.create(trainable, tx)
+    state = init_state if init_state is not None else TrainState.create(trainable, tx)
     best_params, best_acc, best_epoch = state.params, -1.0, -1
     history: list[dict] = []
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         loss_sum = correct = count = None
         for batch in train_loader:
@@ -146,7 +150,7 @@ def fit(
             metrics.log("epoch", step=epoch, **{k: v for k, v in rec.items()
                                                 if k != "epoch"})
         if on_epoch_end is not None:
-            on_epoch_end(epoch, rec)
+            on_epoch_end(epoch, rec, state)
 
     if best_epoch < 0:  # no val loader: final params are "best"
         best_params, best_acc, best_epoch = state.params, float("nan"), epochs - 1
@@ -170,6 +174,7 @@ def train_base_model(
     mesh=None,
     model_name: Optional[str] = None,
     source: str = "all",
+    resume: bool = False,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Full fine-tune (reference ``train.py:113-296`` capability).
@@ -177,6 +182,9 @@ def train_base_model(
     Artifacts under ``out_dir``: ``class_mappings.txt``, best/final model
     checkpoints (safetensors), ``results.json``-style summary returned and
     written as ``training_results.csv`` (column parity with train.py:277-294).
+
+    ``resume=True`` continues from ``{out_dir}/resume.*`` (full TrainState:
+    params + optimizer + step), written atomically after every epoch.
     """
     model_name = model_name or entry.name
     cfg = entry.config(len(vocab))
@@ -190,14 +198,29 @@ def train_base_model(
     os.makedirs(out_dir, exist_ok=True)
     vocab.save(os.path.join(out_dir, "class_mappings.txt"))
 
+    resume_prefix = os.path.join(out_dir, "resume")
+    init_state, start_epoch = None, 0
+    if resume and os.path.exists(resume_prefix + ".params.safetensors"):
+        init_state, meta = checkpoint.load_train_state(
+            resume_prefix, tx, state_cls=TrainState)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        log(f"resuming from epoch {start_epoch} (step {int(init_state.step)})")
+
     from ..utils.observability import MetricsLogger
 
     with MetricsLogger(os.path.join(out_dir, "metrics.jsonl")) as metrics:
         metrics.log("train_start", model=model_name, source=source,
-                    epochs=epochs, lr=lr)
+                    epochs=epochs, lr=lr, start_epoch=start_epoch)
+
+        def save_resume(epoch, rec, state):
+            checkpoint.save_train_state(state, resume_prefix,
+                                        meta={"epoch": epoch})
+
         result = fit(forward, params, tx, train_loader, val_loader,
                      epochs=epochs, num_classes=len(vocab),
-                     normalize=normalize, mesh=mesh, log=log, metrics=metrics)
+                     normalize=normalize, mesh=mesh, log=log, metrics=metrics,
+                     init_state=init_state, start_epoch=start_epoch,
+                     on_epoch_end=save_resume)
 
     best_path = os.path.join(out_dir, f"{model_name}_best_model_finetuned.safetensors")
     checkpoint.save_pytree(result.best_params, best_path,

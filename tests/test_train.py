@@ -90,3 +90,40 @@ def test_steplr_schedule():
     assert float(sched(jnp.asarray(199))) == pytest.approx(1e-4)  # epoch 19
     assert float(sched(jnp.asarray(200))) == pytest.approx(1e-5)  # epoch 20
     assert float(sched(jnp.asarray(405))) == pytest.approx(1e-6)  # epoch 40
+
+
+def test_train_base_model_resume(tmp_path):
+    """Killing a run after epoch 0 and restarting with resume=True continues
+    from epoch 1 with the optimizer state intact (capability the reference
+    lacks — it could only save, never resume)."""
+    import os
+
+    import jax
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data import synthetic
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import Loader, MetadataIndex
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import loop
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+
+    root = str(tmp_path)
+    synthetic.make_synthetic_dataset(root + "/d", n_per_class=4, image_size=32)
+    vocab = LabelVocabulary.from_classes(synthetic.DEFAULT_CLASSES)
+    entry = registry.get_model("vit_test")
+    params = entry.init(jax.random.key(0), entry.config(len(vocab)))
+    mk = lambda s: Loader(MetadataIndex(f"{root}/d/{s}/metadata.csv", vocab),
+                          batch_size=10, image_size=32, resize=32)
+
+    out = root + "/out"
+    # run 1: one epoch, writes resume state
+    loop.train_base_model(entry, params, mk("train"), mk("val"), None, vocab,
+                          out_dir=out, epochs=1, log=lambda s: None)
+    assert os.path.exists(os.path.join(out, "resume.params.safetensors"))
+
+    # run 2: resume to epoch 2 — history starts at epoch 1
+    logs = []
+    summary = loop.train_base_model(entry, params, mk("train"), mk("val"),
+                                    None, vocab, out_dir=out, epochs=2,
+                                    resume=True, log=logs.append)
+    assert any("resuming from epoch 1" in s for s in logs)
+    assert [h["epoch"] for h in summary["history"]] == [1]
