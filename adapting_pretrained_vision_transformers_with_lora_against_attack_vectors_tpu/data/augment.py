@@ -1,0 +1,139 @@
+"""On-device train-time augmentation — one fused program per batch.
+
+Capability parity with the reference's torchvision train pipeline
+(train.py:128-135: ``RandomRotation(15) -> RandomResizedCrop(224) ->
+RandomHorizontalFlip -> ColorJitter(0.2, 0.2, 0.2)``), re-designed for TPU:
+
+* The three geometric ops compose into a **single inverse affine** per image
+  (rotation ∘ crop-resize ∘ flip), sampled once with ``jax.random`` and
+  applied with one bilinear ``map_coordinates`` gather — one resample
+  instead of torchvision's three sequential PIL passes (which also triple
+  interpolation blur). Out-of-bounds pixels fill 0 like torchvision's
+  rotation fill.
+* Color jitter multiplies brightness and interpolates contrast/saturation
+  around the per-image mean / luma in fixed order (torchvision randomizes
+  the order per sample; the factor distributions match: U(1-v, 1+v)).
+* Everything is elementwise/gather work fused by XLA into the training
+  step; the host ships the same uint8 eval-geometry batch either way.
+
+Runs inside the jitted train step via ``make_train_step(step_rng=...)`` —
+each step draws fresh parameters from the folded step key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    rotation_deg: float = 15.0
+    crop_scale: tuple[float, float] = (0.08, 1.0)   # RandomResizedCrop default
+    crop_ratio: tuple[float, float] = (3 / 4, 4 / 3)
+    hflip_p: float = 0.5
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+
+
+DEFAULT = AugmentConfig()
+
+
+def _sample_affine(rng: jax.Array, n: int, size: int, cfg: AugmentConfig):
+    """Per-image inverse-affine params: 2x2 matrix + translation (pixels)."""
+    r_rot, r_area, r_ratio, r_pos, r_flip = jax.random.split(rng, 5)
+
+    theta = jnp.deg2rad(jax.random.uniform(
+        r_rot, (n,), minval=-cfg.rotation_deg, maxval=cfg.rotation_deg))
+
+    # RandomResizedCrop: area fraction + log-uniform aspect ratio
+    area = jax.random.uniform(r_area, (n,), minval=cfg.crop_scale[0],
+                              maxval=cfg.crop_scale[1])
+    log_r = jax.random.uniform(r_ratio, (n,),
+                               minval=math.log(cfg.crop_ratio[0]),
+                               maxval=math.log(cfg.crop_ratio[1]))
+    ratio = jnp.exp(log_r)
+    crop_w = jnp.sqrt(area * ratio) * size
+    crop_h = jnp.sqrt(area / ratio) * size
+    crop_w = jnp.minimum(crop_w, size)
+    crop_h = jnp.minimum(crop_h, size)
+    # top-left corner uniform within bounds
+    uv = jax.random.uniform(r_pos, (2, n))
+    x0 = uv[0] * (size - crop_w)
+    y0 = uv[1] * (size - crop_h)
+
+    flip = jax.random.bernoulli(r_flip, cfg.hflip_p, (n,))
+
+    # Inverse mapping out -> in. Output pixel (ox, oy) in [0, size):
+    #   crop coords: cx = x0 + ox * crop_w/size (flip: mirror ox first)
+    #   rotation (about image center c): src = R(theta) @ (crop - c) + c
+    sx = crop_w / size
+    sy = crop_h / size
+    sign = jnp.where(flip, -1.0, 1.0)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    c = (size - 1) / 2.0
+
+    # affine: src = A @ [ox, oy] + t
+    a00 = cos * sx * sign
+    a01 = -sin * sy
+    a10 = sin * sx * sign
+    a11 = cos * sy
+    # crop offset relative to center, with flip folding into the ox term
+    ox_off = x0 + jnp.where(flip, crop_w - sx, 0.0) - c
+    oy_off = y0 - c
+    t_x = cos * ox_off - sin * oy_off + c
+    t_y = sin * ox_off + cos * oy_off + c
+    return (a00, a01, a10, a11, t_x, t_y)
+
+
+def _warp_one(image: jax.Array, affine) -> jax.Array:
+    a00, a01, a10, a11, t_x, t_y = affine
+    s = image.shape[0]
+    oy, ox = jnp.mgrid[0:s, 0:s].astype(jnp.float32)
+    src_x = a00 * ox + a01 * oy + t_x
+    src_y = a10 * ox + a11 * oy + t_y
+    coords = jnp.stack([src_y, src_x])
+    return jnp.stack([
+        jax.scipy.ndimage.map_coordinates(image[..., ch], coords, order=1,
+                                          mode="constant", cval=0.0)
+        for ch in range(3)], axis=-1)
+
+
+def _color_jitter(images: jax.Array, rng: jax.Array,
+                  cfg: AugmentConfig) -> jax.Array:
+    n = images.shape[0]
+    r_b, r_c, r_s = jax.random.split(rng, 3)
+    shape = (n, 1, 1, 1)
+
+    def factor(r, v):
+        return jax.random.uniform(r, shape, minval=max(0.0, 1 - v),
+                                  maxval=1 + v)
+
+    x = images
+    if cfg.brightness > 0:
+        x = x * factor(r_b, cfg.brightness)
+    if cfg.contrast > 0:
+        # torchvision: blend with the mean of the grayscale image
+        luma = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+        mean = luma.mean(axis=(1, 2)).reshape(n, 1, 1, 1)
+        x = mean + (x - mean) * factor(r_c, cfg.contrast)
+    if cfg.saturation > 0:
+        luma = (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                + 0.114 * x[..., 2])[..., None]
+        x = luma + (x - luma) * factor(r_s, cfg.saturation)
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def train_augment(images: jax.Array, rng: jax.Array,
+                  cfg: AugmentConfig = DEFAULT) -> jax.Array:
+    """(B, S, S, 3) [0,1] floats -> augmented batch, fresh draws per call."""
+    n, size = images.shape[0], images.shape[1]
+    r_geom, r_color = jax.random.split(rng)
+    affine = _sample_affine(r_geom, n, size, cfg)
+    out = jax.vmap(_warp_one)(images, affine)
+    return _color_jitter(out, r_color, cfg)

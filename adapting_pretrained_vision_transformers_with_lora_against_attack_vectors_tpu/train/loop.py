@@ -97,6 +97,7 @@ def fit(
     log: Callable[[str], None] = print,
     metrics=None,
     step_rng=None,
+    augment=None,
     init_state: Optional[TrainState] = None,
     start_epoch: int = 0,
 ) -> FitResult:
@@ -108,7 +109,7 @@ def fit(
     ``init_state``/``start_epoch``: resume a run mid-way (the capability the
     reference lacks, SURVEY.md §5 checkpoint row)."""
     train_step = make_train_step(forward, tx, normalize=normalize,
-                                 step_rng=step_rng)
+                                 step_rng=step_rng, augment=augment)
     eval_step = make_eval_step(forward, num_classes, normalize=normalize)
 
     state = init_state if init_state is not None else TrainState.create(trainable, tx)
@@ -175,6 +176,8 @@ def train_base_model(
     model_name: Optional[str] = None,
     source: str = "all",
     resume: bool = False,
+    augment: bool = True,
+    rng=None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Full fine-tune (reference ``train.py:113-296`` capability).
@@ -185,11 +188,20 @@ def train_base_model(
 
     ``resume=True`` continues from ``{out_dir}/resume.*`` (full TrainState:
     params + optimizer + step), written atomically after every epoch.
+    ``augment=True`` applies the reference's train-time augmentation
+    (rotation/resized-crop/flip/color-jitter, train.py:128-135) on device.
     """
+    import jax
+
+    from ..data.augment import train_augment
+
     model_name = model_name or entry.name
     cfg = entry.config(len(vocab))
     normalize = Normalizer(*get_normalization(model_name))
-    forward = lambda p, x: entry.apply(cfg, p, x)
+    forward = lambda p, x, rng=None: entry.apply(cfg, p, x)
+    aug_fn = train_augment if augment else None
+    step_rng = (jax.random.fold_in(rng if rng is not None else jax.random.key(0),
+                                   17) if augment else None)
     steps_per_epoch = max(len(train_loader), 1)
     tx = optim.adamw_steplr(lr, weight_decay=weight_decay,
                             step_size_epochs=steplr_epochs, gamma=steplr_gamma,
@@ -219,6 +231,7 @@ def train_base_model(
         result = fit(forward, params, tx, train_loader, val_loader,
                      epochs=epochs, num_classes=len(vocab),
                      normalize=normalize, mesh=mesh, log=log, metrics=metrics,
+                     step_rng=step_rng, augment=aug_fn,
                      init_state=init_state, start_epoch=start_epoch,
                      on_epoch_end=save_resume)
 

@@ -48,6 +48,7 @@ def make_train_step(
     *,
     normalize: Optional[Normalizer] = IMAGENET,
     step_rng: Optional[jax.Array] = None,
+    augment: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
 ) -> Callable:
     """Build the jitted ``(state, images, labels, valid) -> (state, metrics)``.
 
@@ -59,15 +60,26 @@ def make_train_step(
     as ``forward(trainable, x, rng)`` with ``rng = fold_in(step_rng, step)``
     (stochastic training-time branches such as LoRA dropout).
 
+    ``augment``: optional ``(images_01, rng) -> images_01`` applied on device
+    *before* normalization (``data.augment.train_augment``); requires
+    ``step_rng``. The whole augmentation fuses into the compiled step.
+
     ``valid``: float mask (B,) — 1 for real samples, 0 for padding.
     Metrics are *sums* (loss_sum, correct, count) so they accumulate across
     batches and reduce exactly.
     """
+    if augment is not None and step_rng is None:
+        raise ValueError("augment requires step_rng")
 
     def loss_fn(trainable, images, labels, valid, step):
+        rng = (jax.random.fold_in(step_rng, step)
+               if step_rng is not None else None)
+        if augment is not None:
+            r_aug, rng = jax.random.split(rng)
+            images = augment(images, r_aug)
         x = normalize(images) if normalize is not None else images
         if step_rng is not None:
-            logits = forward(trainable, x, jax.random.fold_in(step_rng, step))
+            logits = forward(trainable, x, rng)
         else:
             logits = forward(trainable, x)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)

@@ -1,0 +1,104 @@
+"""On-device augmentation tests: geometry invariants of the fused affine,
+color-jitter ranges, determinism per key, and train-step integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data import augment
+
+
+def _imgs(n=4, size=32):
+    return jax.random.uniform(jax.random.key(0), (n, size, size, 3))
+
+
+def test_augment_shapes_and_range():
+    x = _imgs()
+    out = augment.train_augment(x, jax.random.key(1))
+    assert out.shape == x.shape
+    o = np.asarray(out)
+    assert o.min() >= 0.0 and o.max() <= 1.0
+
+
+def test_augment_deterministic_per_key():
+    x = _imgs()
+    a = augment.train_augment(x, jax.random.key(1))
+    b = augment.train_augment(x, jax.random.key(1))
+    c = augment.train_augment(x, jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
+
+
+def test_identity_config_is_near_identity():
+    """No rotation, full crop, no flip, no jitter -> the affine resample is
+    the identity mapping."""
+    cfg = augment.AugmentConfig(rotation_deg=0.0, crop_scale=(1.0, 1.0),
+                                crop_ratio=(1.0, 1.0), hflip_p=0.0,
+                                brightness=0.0, contrast=0.0, saturation=0.0)
+    x = _imgs()
+    out = augment.train_augment(x, jax.random.key(3), cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_hflip_only():
+    cfg = augment.AugmentConfig(rotation_deg=0.0, crop_scale=(1.0, 1.0),
+                                crop_ratio=(1.0, 1.0), hflip_p=1.0,
+                                brightness=0.0, contrast=0.0, saturation=0.0)
+    x = _imgs()
+    out = augment.train_augment(x, jax.random.key(4), cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x)[:, :, ::-1],
+                               atol=1e-4)
+
+
+def test_crop_zooms_in():
+    """A tight crop (small area) must magnify content: the output equals some
+    sub-window of the input resampled, so its per-image std stays comparable
+    and corners differ from the original."""
+    cfg = augment.AugmentConfig(rotation_deg=0.0, crop_scale=(0.25, 0.25),
+                                crop_ratio=(1.0, 1.0), hflip_p=0.0,
+                                brightness=0.0, contrast=0.0, saturation=0.0)
+    x = _imgs(size=64)
+    out = augment.train_augment(x, jax.random.key(5), cfg)
+    assert out.shape == x.shape
+    assert np.abs(np.asarray(out) - np.asarray(x)).mean() > 0.05
+
+
+def test_rotation_fills_corners_with_zero():
+    cfg = augment.AugmentConfig(rotation_deg=45.0, crop_scale=(1.0, 1.0),
+                                crop_ratio=(1.0, 1.0), hflip_p=0.0,
+                                brightness=0.0, contrast=0.0, saturation=0.0)
+    x = jnp.ones((1, 64, 64, 3))
+    # force near-max rotation by trying keys until rotation is large
+    for k in range(20):
+        out = np.asarray(augment.train_augment(x, jax.random.key(k), cfg))
+        if out[0, 0, 0].sum() < 0.1:  # corner fell outside the source
+            break
+    else:
+        pytest.fail("no key produced a corner fill (rotation too small?)")
+    assert out[0, 32, 32].sum() > 2.9  # center still inside
+
+
+def test_train_step_with_augmentation():
+    import optax
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import steps
+
+    cfg = vit.VIT_TEST
+    params = vit.init(jax.random.key(0), cfg)
+    tx = optax.adam(1e-3)
+    train = steps.make_train_step(
+        lambda p, x, rng=None: vit.apply(cfg, p, x), tx, normalize=None,
+        step_rng=jax.random.key(7), augment=augment.train_augment)
+    state = steps.TrainState.create(params, tx)
+    imgs = jax.random.uniform(jax.random.key(1), (4, 32, 32, 3))
+    labels = jnp.zeros((4,), jnp.int32)
+    valid = jnp.ones((4,))
+    state, m = train(state, imgs, labels, valid)
+    assert np.isfinite(float(m["loss_sum"]))
+
+    with pytest.raises(ValueError, match="augment requires step_rng"):
+        steps.make_train_step(lambda p, x: vit.apply(cfg, p, x), tx,
+                              augment=augment.train_augment)
