@@ -152,3 +152,59 @@ def test_load_pretrained_facade(tmp_path):
 
     with pytest.raises(ValueError):
         pretrained.load_pretrained("yolo11_test", 4, p)
+
+
+@pytest.mark.parametrize("name", ["swin_test", "convnext_test", "yolo11_test"])
+def test_backbone_end_to_end_slice(name, tmp_path):
+    """Each non-ViT family runs the full core loop: a train step, PGD
+    generation against it, LoRA-adapter training on the adversarial batch,
+    and merged-adapter eval — the multi-backbone capability the reference
+    documented but never implemented (SURVEY.md §2.4 item 1)."""
+    import optax
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks.common import Normalizer
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import steps
+
+    ident = Normalizer((0.0,) * 3, (1.0,) * 3)
+    entry = registry.get_model(name)
+    cfg = entry.config(3)
+    params = entry.init(jax.random.key(0), cfg)
+    s = cfg.image_size
+    images = jax.random.uniform(jax.random.key(1), (4, s, s, 3))
+    labels = jnp.asarray([0, 1, 2, 0])
+    valid = jnp.ones((4,))
+
+    # one full-model train step
+    tx = optax.adam(1e-3)
+    train = steps.make_train_step(lambda p, x: entry.apply(cfg, p, x), tx,
+                                  normalize=ident)
+    state = steps.TrainState.create(params, tx)
+    state, m = train(state, images, labels, valid)
+    assert np.isfinite(float(m["loss_sum"]))
+    params = state.params
+
+    # PGD against this backbone
+    run = whitebox.make_pgd(entry.apply, cfg, eps=8 / 255, alpha=3 / 255,
+                            steps=2, normalize=ident)
+    adv = run(params, images, labels, jax.random.key(2))
+    assert float(jnp.abs(adv - images).max()) <= 8 / 255 + 1e-5
+
+    # LoRA adapter training on the adversarial batch
+    lcfg = lora.LoRAConfig(rank=2, alpha=4.0, targets=entry.lora_targets(cfg),
+                           dropout=0.0)
+    adapter = lora.init(jax.random.key(3), params, lcfg)
+    tx2 = optax.adam(1e-3)
+    lora_train = steps.make_train_step(
+        lambda ad, x: entry.apply(cfg, lora.attach(params, ad, lcfg), x),
+        tx2, normalize=ident)
+    lstate = steps.TrainState.create(adapter, tx2)
+    lstate, lm = lora_train(lstate, adv, labels, valid)
+    assert np.isfinite(float(lm["loss_sum"]))
+
+    # merged-adapter eval form == attached form
+    merged = lora.merge(params, lstate.params, lcfg)
+    o1 = entry.apply(cfg, merged, images)
+    o2 = entry.apply(cfg, lora.attach(params, lstate.params, lcfg), images)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-4,
+                               rtol=1e-3)

@@ -159,3 +159,50 @@ def test_train_state_resume(tmp_path):
     s2, _ = train(restored, imgs, labels, valid)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=1e-6), s1.params, s2.params)
+
+
+def test_reference_peft_artifacts_load(hf_model, tmp_path):
+    """Adapters written by HF PEFT's own save_pretrained (the reference's
+    rank{r}_best_adapter artifacts, train_loras.py:342-355) load into this
+    framework, and our functional merge matches PEFT's merge_and_unload."""
+    import copy
+
+    import peft
+
+    lora_cfg = peft.LoraConfig(
+        r=4, lora_alpha=16, lora_dropout=0.1,
+        target_modules=["query", "key", "value", "output.dense"],
+        modules_to_save=["classifier"])
+    base = copy.deepcopy(hf_model)
+    peft_model = peft.get_peft_model(base, lora_cfg)
+    # make the factors non-trivial (B starts at zero in PEFT too)
+    torch.manual_seed(1)
+    with torch.no_grad():
+        for name, p in peft_model.named_parameters():
+            if "lora_B" in name:
+                p.add_(torch.randn_like(p) * 0.05)
+    out_dir = str(tmp_path / "ref_adapter")
+    peft_model.save_pretrained(out_dir)
+
+    adapter, lcfg, head = peft_io.load_peft_adapter(out_dir)
+    assert lcfg.rank == 4 and lcfg.alpha == 16
+    # suffix semantics: output.dense targets BOTH attn.o and mlp.fc2
+    assert set(adapter) == {"blocks/attn/q", "blocks/attn/k",
+                            "blocks/attn/v", "blocks/attn/o",
+                            "blocks/mlp/fc2"}
+    assert head is not None
+
+    merged_torch = peft_model.merge_and_unload()
+    params = hf_import.vit_params_from_hf(hf_model.state_dict(), OUR_CFG)
+    merged_ours = lora.merge(params, adapter, lcfg)
+    merged_ours = dict(merged_ours)
+    merged_ours["head"] = {"w": jnp.asarray(head["w"]),
+                           "b": jnp.asarray(head["b"])}
+
+    rng = np.random.default_rng(2)
+    images = rng.random((2, 32, 32, 3), np.float32)
+    with torch.no_grad():
+        ref = merged_torch(torch.from_numpy(
+            images.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(vit.apply(OUR_CFG, merged_ours, jnp.asarray(images)))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
