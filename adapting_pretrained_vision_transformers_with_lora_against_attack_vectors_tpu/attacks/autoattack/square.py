@@ -95,11 +95,11 @@ def make_square(
             x, f = carry
             i, s = inp
             r = jax.random.fold_in(rng, i + 1)
-            r_pos, r_delta = jax.random.split(r)
-            pos = jax.random.randint(r_pos, (b, 2), 0,
-                                     jnp.maximum(h - s, 1))
-            window = ((yy >= pos[:, 0:1, None]) & (yy < pos[:, 0:1, None] + s) &
-                      (xx >= pos[:, 1:2, None]) & (xx < pos[:, 1:2, None] + s))
+            r_py, r_px, r_delta = jax.random.split(r, 3)
+            pos_y = jax.random.randint(r_py, (b, 1, 1), 0, jnp.maximum(h - s, 1))
+            pos_x = jax.random.randint(r_px, (b, 1, 1), 0, jnp.maximum(w - s, 1))
+            window = ((yy >= pos_y) & (yy < pos_y + s) &
+                      (xx >= pos_x) & (xx < pos_x + s))
             delta = cfg.eps * jnp.sign(
                 jax.random.uniform(r_delta, (b, 1, 1, c), minval=-1.0, maxval=1.0))
             cand = jnp.where(window[..., None], images + delta, x)

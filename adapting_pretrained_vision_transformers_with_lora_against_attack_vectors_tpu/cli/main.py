@@ -354,13 +354,8 @@ def cmd_train_lora(args):
     from ..data.loader import Loader, MetadataIndex
     from ..ops import lora
     from ..train import loop
-    from ..utils.vocab import LabelVocabulary
 
-    mapping = os.path.join(os.path.dirname(args.model_path),
-                           "class_mappings.txt")
-    vocab = (LabelVocabulary.load(mapping) if os.path.exists(mapping)
-             else _build_vocab(args))
-    entry, cfg, params, vocab2, normalize = _attack_loaders_and_model(args)
+    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args)
     source = "_".join(args.sources) if args.sources else "all"
 
     all_results = {}
@@ -419,17 +414,10 @@ def cmd_train_lora(args):
 
 
 def cmd_eval_compose(args):
-    from ..attacks.common import Normalizer
     from ..data.loader import Loader, MetadataIndex
     from ..eval import compose
-    from ..models.registry import get_normalization
-    from ..utils.vocab import LabelVocabulary
 
-    mapping = os.path.join(os.path.dirname(args.model_path),
-                           "class_mappings.txt")
-    vocab = (LabelVocabulary.load(mapping) if os.path.exists(mapping)
-             else _build_vocab(args))
-    entry, cfg, params, _, normalize = _attack_loaders_and_model(args)
+    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args)
     source = "_".join(args.sources) if args.sources else "all"
 
     # clean test loader + auto-discovered attack test sets

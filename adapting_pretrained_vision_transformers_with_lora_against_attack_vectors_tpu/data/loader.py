@@ -133,13 +133,31 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer is gone (never
+            blocks a dying producer on a full queue)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for k in range(n_batches):
-                    if stop.is_set():
-                        return
-                    q.put(make_batch(pool, k))
-            q.put(None)
+            # Exceptions (e.g. a truncated PNG mid-epoch) propagate to the
+            # consumer through the queue — the consumer must never block
+            # forever on a dead producer.
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for k in range(n_batches):
+                        if stop.is_set():
+                            return
+                        if not put(make_batch(pool, k)):
+                            return
+                put(None)
+            except BaseException as e:  # noqa: BLE001
+                put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -148,6 +166,14 @@ class Loader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
+            # drain so a producer blocked in put() can observe stop and exit
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

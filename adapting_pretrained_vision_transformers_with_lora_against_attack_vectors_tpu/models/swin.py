@@ -74,7 +74,12 @@ def _rel_pos_index(window: int) -> np.ndarray:
 
 
 def _shift_attn_mask(res: int, window: int, shift: int) -> np.ndarray:
-    """(num_windows, W^2, W^2) additive mask for shifted windows (static)."""
+    """(num_windows, W^2, W^2) additive mask for shifted windows (static).
+
+    The slice labels describe the ALREADY-rolled feature map (the wrapped
+    strips live in the last ``window``/``shift`` rows/cols after the cyclic
+    shift), so the labeled image is partitioned directly — no extra roll
+    (verified numerically against the HF Swin mask)."""
     img = np.zeros((res, res), np.int32)
     cnt = 0
     slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
@@ -82,7 +87,6 @@ def _shift_attn_mask(res: int, window: int, shift: int) -> np.ndarray:
         for ws in slices:
             img[hs, ws] = cnt
             cnt += 1
-    img = np.roll(img, (-shift, -shift), axis=(0, 1))
     nw = res // window
     wins = img.reshape(nw, window, nw, window).transpose(0, 2, 1, 3)
     wins = wins.reshape(nw * nw, window * window)

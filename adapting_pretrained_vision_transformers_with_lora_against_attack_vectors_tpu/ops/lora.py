@@ -58,7 +58,9 @@ def init(rng: jax.Array, params, cfg: LoRAConfig, *, dtype=jnp.float32) -> dict:
     for i, path in enumerate(cfg.targets):
         w = trees.get_path(params, path)["w"]
         *lead, d_in, d_out = w.shape
-        bound = (6.0 / d_in) ** 0.5  # kaiming_uniform(a=sqrt(5)) over fan_in
+        # PEFT's kaiming_uniform(a=sqrt(5)): bound = gain*sqrt(3/fan_in) with
+        # gain = sqrt(2/(1+5)) -> sqrt(1/fan_in)
+        bound = (1.0 / d_in) ** 0.5
         a = jax.random.uniform(jax.random.fold_in(rng, i), (*lead, d_in, cfg.rank),
                                dtype, minval=-bound, maxval=bound)
         adapter[path] = {"a": a, "b": jnp.zeros((*lead, cfg.rank, d_out), dtype)}
@@ -101,10 +103,12 @@ def attach(params, adapter: Mapping, cfg: LoRAConfig, *,
 
 
 def detach(params):
-    """Strip any lora_* leaves (inverse of :func:`attach`)."""
+    """Strip any lora_* leaves (inverse of :func:`attach`, incl. the
+    training-form dropout leaves)."""
     flat = trees.flatten_with_paths(params)
     kept = {p: v for p, v in flat.items()
-            if p.rsplit("/", 1)[-1] not in ("lora_a", "lora_b", "lora_s")}
+            if p.rsplit("/", 1)[-1] not in ("lora_a", "lora_b", "lora_s",
+                                            "lora_rng", "lora_p")}
     return trees.unflatten_from_paths(kept)
 
 

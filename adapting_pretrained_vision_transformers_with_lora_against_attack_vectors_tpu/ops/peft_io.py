@@ -91,7 +91,8 @@ def paths_to_peft_targets(paths) -> list[str]:
             name = "output.dense"
         else:
             name = {"blocks/attn/q": "query", "blocks/attn/k": "key",
-                    "blocks/attn/v": "value", "blocks/mlp/fc1": "intermediate.dense"}[p]
+                    "blocks/attn/v": "value",
+                    "blocks/mlp/fc1": "intermediate.dense"}.get(p, p)
         if name not in out:
             out.append(name)
     return out
@@ -113,6 +114,14 @@ def save_peft_adapter(adapter: Mapping, cfg: LoRAConfig, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     tensors: dict[str, np.ndarray] = {}
     for path, fac in adapter.items():
+        if path not in _PATH_TO_PEFT:
+            # Non-ViT backbone target (swin/convnext/yolo11): HF PEFT has no
+            # module naming for these, so persist under a framework-native
+            # key the loader below understands. Factors keep their full
+            # stacked-lead shapes.
+            tensors[f"framework.{path}.lora_A"] = np.asarray(fac["a"], np.float32)
+            tensors[f"framework.{path}.lora_B"] = np.asarray(fac["b"], np.float32)
+            continue
         tmpl = _PATH_TO_PEFT[path]
         a = np.asarray(fac["a"], np.float32)  # (L, in, r)
         b = np.asarray(fac["b"], np.float32)  # (L, r, out)
@@ -164,7 +173,12 @@ def load_peft_adapter(adapter_dir: str, *, depth: Optional[int] = None
 
     # per-path, per-layer factor collection
     per_path: dict[str, dict[int, dict[str, np.ndarray]]] = {}
+    native: dict[str, dict[str, np.ndarray]] = {}
     for key, arr in tensors.items():
+        if key.startswith("framework."):
+            body, which = key[len("framework."):].rsplit(".lora_", 1)
+            native.setdefault(body, {})[which] = np.asarray(arr)
+            continue
         m = _PEFT_RE.fullmatch(key)
         if m is None:
             continue  # classifier/modules_to_save handled elsewhere
@@ -173,6 +187,8 @@ def load_peft_adapter(adapter_dir: str, *, depth: Optional[int] = None
         per_path.setdefault(path, {}).setdefault(layer, {})[which] = np.asarray(arr)
 
     adapter: dict = {}
+    for path, fac in native.items():
+        adapter[path] = {"a": fac["A"], "b": fac["B"]}
     for path, layers in per_path.items():
         n = (depth if depth is not None else max(layers) + 1)
         a_list, b_list = [], []

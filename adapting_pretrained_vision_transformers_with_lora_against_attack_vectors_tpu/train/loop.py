@@ -141,7 +141,10 @@ def fit(
             rec.update({f"val_{k}": v for k, v in val.items()})
             if val["accuracy"] > best_acc:
                 best_acc, best_epoch = val["accuracy"], epoch
-                best_params = jax.tree.map(lambda x: x, state.params)
+                # REAL copies, not aliases: the next train_step donates the
+                # state buffers (steps.py donate_argnums), which would delete
+                # aliased best_params on TPU (harmless on CPU, hence the copy)
+                best_params = jax.tree.map(jnp.copy, state.params)
         history.append(rec)
         log(f"epoch {epoch}: loss {rec['train_loss']:.4f} "
             f"acc {rec['train_accuracy']:.4f}"
@@ -295,7 +298,9 @@ def train_lora_adapter(
     adapter = lora.init(r_init, base_params, lora_cfg)
     trainable: dict = {"adapter": adapter}
     if train_head:
-        trainable["head"] = base_params["head"]
+        # copy, never alias: the donated train state would otherwise delete
+        # the caller's base-model head buffers on the first step (TPU)
+        trainable["head"] = jax.tree.map(jnp.copy, base_params["head"])
 
     def forward(train_tree, x, drop_rng=None):
         # drop_rng is the per-step key from make_train_step: training passes

@@ -88,7 +88,9 @@ def test_swin_hf_parity():
     with torch.no_grad():
         ref = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
     ours = np.asarray(swin.apply(cfg, params, jnp.asarray(x)))
-    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+    # tight tolerance on purpose: a wrong shifted-window mask once hid at
+    # 2e-5 under random weights (review finding) — exact math gives ~5e-8
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
 
 
 def test_convnext_hf_parity():

@@ -86,3 +86,63 @@ def test_eval_transform_nonsquare():
     img = Image.fromarray(np.zeros((100, 60, 3), np.uint8))
     out = eval_transform_pil(img, resize=64, crop=48)
     assert out.shape == (48, 48, 3)
+
+
+def test_loader_corrupt_image_raises_not_hangs(tmp_path):
+    """A truncated PNG mid-epoch must surface as an exception in the
+    consumer, not kill the producer thread and hang q.get() forever
+    (review finding)."""
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import Loader, MetadataIndex
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img_dir / "ok.png")
+    (img_dir / "bad.png").write_bytes(b"\x89PNG\r\n\x1a\nnot a real png")
+    meta = pd.DataFrame([
+        {"image_path": "images/ok.png", "source": "s",
+         "original_class": "a", "unified_class": "a"},
+        {"image_path": "images/bad.png", "source": "s",
+         "original_class": "a", "unified_class": "a"},
+    ])
+    meta.to_csv(tmp_path / "metadata.csv", index=False)
+
+    vocab = LabelVocabulary.from_classes(["a"])
+    idx = MetadataIndex(str(tmp_path / "metadata.csv"), vocab)
+    loader = Loader(idx, batch_size=2, image_size=16, resize=16)
+    with pytest.raises(Exception):
+        for _ in loader:
+            pass
+
+
+def test_loader_early_break_shuts_down(tmp_path):
+    """Breaking out of iteration early must release the producer (no thread
+    stuck in q.put on a full queue)."""
+    import threading
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data import synthetic
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import Loader, MetadataIndex
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+
+    synthetic.make_synthetic_dataset(str(tmp_path), n_per_class=8,
+                                     image_size=16, splits=("train",))
+    vocab = LabelVocabulary.from_classes(synthetic.DEFAULT_CLASSES)
+    idx = MetadataIndex(str(tmp_path / "train" / "metadata.csv"), vocab)
+    loader = Loader(idx, batch_size=2, image_size=16, resize=16, prefetch=1)
+
+    before = threading.active_count()
+    for i, _ in enumerate(loader):
+        if i == 0:
+            break
+    # the daemon producer observes stop and exits promptly
+    import time
+
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1

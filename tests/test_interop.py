@@ -206,3 +206,27 @@ def test_reference_peft_artifacts_load(hf_model, tmp_path):
             images.transpose(0, 3, 1, 2))).logits.numpy()
     ours = np.asarray(vit.apply(OUR_CFG, merged_ours, jnp.asarray(images)))
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_peft_io_non_vit_targets_round_trip(tmp_path):
+    """Adapters on swin/convnext/yolo11 targets (no HF-PEFT module naming)
+    persist under framework-native keys and round-trip (review finding:
+    previously a KeyError discarded the trained adapter)."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
+
+    entry = registry.get_model("swin_test")
+    cfg = entry.config(4)
+    params = entry.init(jax.random.key(0), cfg)
+    lcfg = lora.LoRAConfig(rank=2, alpha=4.0, targets=entry.lora_targets(cfg))
+    adapter = jax.tree.map(lambda v: v + 0.02,
+                           lora.init(jax.random.key(1), params, lcfg))
+    out = str(tmp_path / "swin_ad")
+    peft_io.save_peft_adapter(adapter, lcfg, out)
+    loaded, loaded_cfg, head = peft_io.load_peft_adapter(out)
+    assert head is None
+    assert set(loaded) == set(adapter)
+    for path in adapter:
+        np.testing.assert_allclose(np.asarray(adapter[path]["a"]),
+                                   loaded[path]["a"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(adapter[path]["b"]),
+                                   loaded[path]["b"], atol=1e-6)

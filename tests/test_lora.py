@@ -139,3 +139,19 @@ def test_lora_dropout_training_form(rng):
                                     dropout_rng=jax.random.key(0)), x)
     zb = vit.apply(cfg, params, x)
     np.testing.assert_allclose(np.asarray(za), np.asarray(zb), atol=1e-6)
+
+
+def test_detach_strips_dropout_leaves(rng):
+    """detach() is the exact inverse of attach() including the training-form
+    dropout leaves (review finding)."""
+    import jax
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
+
+    params = vit.init(rng, vit.VIT_TEST)
+    lcfg = lora.LoRAConfig(rank=2, dropout=0.3, targets=("blocks/attn/q",))
+    ad = lora.init(jax.random.fold_in(rng, 1), params, lcfg)
+    attached = lora.attach(params, ad, lcfg, dropout_rng=jax.random.key(0))
+    restored = lora.detach(attached)
+    assert jax.tree.structure(restored) == jax.tree.structure(params)
