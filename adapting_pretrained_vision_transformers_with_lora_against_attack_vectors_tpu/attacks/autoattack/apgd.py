@@ -154,6 +154,7 @@ def make_apgd(
         state = dict(
             x=x1, x_prev=x, grad=g1, f=f1,
             eta=eta0, f_best=f_best, x_best=x_best,
+            g_best=jnp.where(better[expand], g1, g0),
             improved=better.astype(jnp.float32),  # since last checkpoint
             cp_eta=eta0, cp_f_best=f_best,  # values at previous checkpoint
         )
@@ -166,26 +167,30 @@ def make_apgd(
                 state["cp_f_best"] >= state["f_best"])
             halve = is_cp & (cond1 | cond2)
             eta = jnp.where(halve, state["eta"] / 2.0, state["eta"])
+            # restart from the best point WITH its gradient (upstream APGD
+            # restores grad alongside x_best; a stale gradient would waste
+            # the first post-restart step)
             x = jnp.where(halve[expand], state["x_best"], state["x"])
+            grad = jnp.where(halve[expand], state["g_best"], state["grad"])
             improved = jnp.where(is_cp, 0.0, state["improved"])
             cp_eta = jnp.where(is_cp, eta, state["cp_eta"])
             cp_f_best = jnp.where(is_cp, state["f_best"], state["cp_f_best"])
 
             # --- momentum ascent step --------------------------------------
-            z = linf_project(x + eta[expand] * jnp.sign(state["grad"]),
-                             images, cfg.eps)
+            z = linf_project(x + eta[expand] * jnp.sign(grad), images, cfg.eps)
             a = cfg.alpha_momentum
             x_new = linf_project(x + a * (z - x) + (1 - a) * (x - state["x_prev"]),
                                  images, cfg.eps)
             f_new, g_new = loss_and_grad(x_new, params, labels, tgt)
 
             gained = f_new > state["f"]
+            new_best = (f_new >= state["f_best"])[expand]
             f_best = jnp.maximum(state["f_best"], f_new)
-            x_best = jnp.where((f_new >= state["f_best"])[expand], x_new,
-                               state["x_best"])
+            x_best = jnp.where(new_best, x_new, state["x_best"])
+            g_best = jnp.where(new_best, g_new, state["g_best"])
             new_state = dict(
                 x=x_new, x_prev=x, grad=g_new, f=f_new,
-                eta=eta, f_best=f_best, x_best=x_best,
+                eta=eta, f_best=f_best, x_best=x_best, g_best=g_best,
                 improved=improved + gained.astype(jnp.float32),
                 cp_eta=cp_eta, cp_f_best=cp_f_best,
             )

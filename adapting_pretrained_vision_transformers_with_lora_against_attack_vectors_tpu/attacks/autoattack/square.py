@@ -35,19 +35,29 @@ class SquareConfig:
 
 
 def p_schedule(i: int, n: int, p_init: float) -> float:
-    """Piecewise-constant fraction of pixels to perturb (paper's schedule)."""
-    frac = 10 * i / n
-    if frac <= 0.5:
+    """Piecewise-constant fraction of pixels to perturb — the official
+    schedule (query-fraction breakpoints 0.1%/0.5%/2%/5%/10%/20%/40%/60%/80%
+    halving p at each, down to p_init/512)."""
+    it = int(i / n * 10000)
+    if it <= 10:
         return p_init
-    if frac <= 2:
+    if it <= 50:
         return p_init / 2
-    if frac <= 4:
+    if it <= 200:
         return p_init / 4
-    if frac <= 6:
+    if it <= 500:
         return p_init / 8
-    if frac <= 8:
+    if it <= 1000:
         return p_init / 16
-    return p_init / 32
+    if it <= 2000:
+        return p_init / 32
+    if it <= 4000:
+        return p_init / 64
+    if it <= 6000:
+        return p_init / 128
+    if it <= 8000:
+        return p_init / 256
+    return p_init / 512
 
 
 def margin_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:

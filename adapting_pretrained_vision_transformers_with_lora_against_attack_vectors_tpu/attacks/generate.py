@@ -43,6 +43,8 @@ def generate_adversarial_split(
     the adversarial metadata frame (reference whitebox_attacks.py:115-179
     per-split loop + Utils.create_adv_metadata semantics).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
     rng = rng if rng is not None else jax.random.key(0)
@@ -50,27 +52,29 @@ def generate_adversarial_split(
     all_names: list[str] = []
     pending: Optional[tuple] = None  # (device adv array, valid, names)
 
-    def flush(adv, valid, names):
-        adv_np = np.asarray(jax.device_get(adv))
-        keep = [i for i, v in enumerate(valid) if v > 0]
-        data_io.save_images(adv_np[keep], [names[i] for i in keep], img_dir)
-        all_names.extend(names[i] for i in keep)
+    with ThreadPoolExecutor(max_workers=8) as pool:  # one pool per split
+        def flush(adv, valid, names):
+            adv_np = np.asarray(jax.device_get(adv))
+            keep = [i for i, v in enumerate(valid) if v > 0]
+            data_io.save_images(adv_np[keep], [names[i] for i in keep],
+                                img_dir, pool=pool)
+            all_names.extend(names[i] for i in keep)
 
-    for k, batch in enumerate(loader):
-        images = batch.images.astype(np.float32) / 255.0
-        if mesh is not None:
-            from ..parallel import mesh as pmesh
+        for k, batch in enumerate(loader):
+            images = batch.images_f32()
+            if mesh is not None:
+                from ..parallel import mesh as pmesh
 
-            images, labels = pmesh.shard_batch(mesh, images, batch.labels)
-        else:
-            images = jax.device_put(images)
-            labels = jax.device_put(batch.labels)
-        adv = attack_fn(params, images, labels, jax.random.fold_in(rng, k))
+                images, labels = pmesh.shard_batch(mesh, images, batch.labels)
+            else:
+                images = jax.device_put(images)
+                labels = jax.device_put(batch.labels)
+            adv = attack_fn(params, images, labels, jax.random.fold_in(rng, k))
+            if pending is not None:
+                flush(*pending)  # encode batch k-1 while the device runs k
+            pending = (adv, batch.valid, batch.filenames)
         if pending is not None:
-            flush(*pending)  # encode batch k-1 while the device runs batch k
-        pending = (adv, batch.valid, batch.filenames)
-    if pending is not None:
-        flush(*pending)
+            flush(*pending)
 
     adv_meta = data_io.create_adv_metadata(clean_metadata, all_names, img_dir)
     data_io.save_metadata(adv_meta, os.path.join(out_dir, "metadata.csv"))

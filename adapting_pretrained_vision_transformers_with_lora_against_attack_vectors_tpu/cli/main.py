@@ -28,10 +28,19 @@ def _common_data_args(p, *, sources=True):
                        help="filter metadata by source column")
 
 
+def _eval_resize(image_size: int) -> int:
+    """Reference eval geometry: Resize(256) before CenterCrop(224), scaled
+    to the model input size (applies to adversarial images too —
+    train_loras.py:187-191 / eval_compose.py:134-138)."""
+    return int(round(image_size * 256 / 224))
+
+
 def _loaders_for(args, vocab, splits, *, batch_size, shuffle_train=True,
-                 image_size=224, resize=256):
+                 image_size=224, resize=None):
     from ..data.loader import Loader, MetadataIndex
 
+    if resize is None:
+        resize = _eval_resize(image_size)
     out = {}
     for split in splits:
         meta = os.path.join(args.data_root, split, "metadata.csv")
@@ -100,8 +109,7 @@ def cmd_train(args):
     entry, cfg, params = _load_base(args, len(vocab))
     loaders = _loaders_for(args, vocab, ("train", "val", "test"),
                            batch_size=args.batch_size,
-                           image_size=cfg.image_size,
-                           resize=max(cfg.image_size, args.resize))
+                           image_size=cfg.image_size, resize=args.resize)
     source = "_".join(args.sources) if args.sources else "all"
     out_dir = os.path.join(args.output_dir, args.model, source)
     summary = loop.train_base_model(
@@ -368,13 +376,15 @@ def cmd_train_lora(args):
             continue
         idx = MetadataIndex(meta, vocab, root_dir=adv_dir)
         train_loader = Loader(idx, batch_size=args.batch_size,
-                              image_size=cfg.image_size, resize=cfg.image_size,
+                              image_size=cfg.image_size,
+                              resize=_eval_resize(cfg.image_size),
                               shuffle=True)
         val_dir = os.path.join(args.adv_root, args.model, source, "val", attack)
         val_meta = os.path.join(val_dir, "metadata.csv")
         val_loader = (Loader(MetadataIndex(val_meta, vocab, root_dir=val_dir),
                              batch_size=args.batch_size,
-                             image_size=cfg.image_size, resize=cfg.image_size)
+                             image_size=cfg.image_size,
+                             resize=_eval_resize(cfg.image_size))
                       if os.path.exists(val_meta) else train_loader)
 
         for rank in args.ranks:
@@ -437,7 +447,7 @@ def cmd_eval_compose(args):
                     MetadataIndex(meta, vocab,
                                   root_dir=os.path.join(adv_base, attack)),
                     batch_size=args.batch_size, image_size=cfg.image_size,
-                    resize=cfg.image_size)
+                    resize=_eval_resize(cfg.image_size))
 
     adapters = compose.find_lora_adapters(
         os.path.join(args.lora_root, args.model, source), args.attacks,
@@ -495,7 +505,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--epochs", type=int, default=1)
     sp.add_argument("--learning_rate", type=float, default=1e-4)
     sp.add_argument("--weight_decay", type=float, default=1e-4)
-    sp.add_argument("--resize", type=int, default=256)
+    sp.add_argument("--resize", type=int, default=None,
+                    help="pre-crop shorter-side resize (default: scales the "
+                         "reference's 256/224 ratio to the model input size)")
     sp.add_argument("--resume", action="store_true",
                     help="continue from {out}/resume.* if present")
     sp.set_defaults(fn=cmd_train)

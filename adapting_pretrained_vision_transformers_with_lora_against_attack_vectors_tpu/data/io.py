@@ -47,8 +47,13 @@ def save_metadata(df: pd.DataFrame, path: str) -> None:
 
 
 def save_images(images, filenames: Sequence[str], output_dir: str, *,
-                max_workers: int = 8) -> None:
-    """Write a batch of [0,1] NHWC float images as uint8 PNGs."""
+                max_workers: int = 8,
+                pool: Optional[ThreadPoolExecutor] = None) -> None:
+    """Write a batch of [0,1] NHWC float images as uint8 PNGs.
+
+    ``pool``: optional caller-owned executor — per-batch callers (e.g.
+    ``attacks.generate``) pass one pool for the whole split instead of
+    spawning/joining threads every batch."""
     os.makedirs(output_dir, exist_ok=True)
     arr = uint8_quantize(images)
 
@@ -56,9 +61,11 @@ def save_images(images, filenames: Sequence[str], output_dir: str, *,
         i, name = i_name
         Image.fromarray(arr[i]).save(os.path.join(output_dir, name))
 
-    if len(filenames) > 1:
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            list(pool.map(write, enumerate(filenames)))
+    if pool is not None:
+        list(pool.map(write, enumerate(filenames)))
+    elif len(filenames) > 1:
+        with ThreadPoolExecutor(max_workers=max_workers) as own:
+            list(own.map(write, enumerate(filenames)))
     else:
         for item in enumerate(filenames):
             write(item)

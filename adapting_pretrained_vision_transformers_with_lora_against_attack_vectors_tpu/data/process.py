@@ -159,6 +159,18 @@ def resize_area(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize(size, Image.BOX))
 
 
+def resize_linear(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """cv2.resize default interpolation (INTER_LINEAR) — the reference's
+    plain-resize path for LISA/Mapillary crops (Process.py:244, 390), which
+    are usually *up*scales where INTER_AREA would go blocky."""
+    cv2 = _cv2()
+    if cv2 is not None:
+        return cv2.resize(img, size)  # default INTER_LINEAR
+    from PIL import Image
+
+    return np.asarray(Image.fromarray(img).resize(size, Image.BILINEAR))
+
+
 def resize_with_padding(img: np.ndarray,
                         size: tuple[int, int] = IMAGE_SIZE) -> np.ndarray:
     """Aspect-preserving resize + centered black padding (Process.py:13-26)."""
@@ -278,7 +290,7 @@ def _process_yolo_layout(base_dir, output_dir, split, *, source, classes,
             if not _valid_box(x1, y1, x2, y2):
                 continue
             sign = img[y1:y2, x1:x2]
-            crop = resize_with_padding(sign) if pad else resize_area(sign, IMAGE_SIZE)
+            crop = resize_with_padding(sign) if pad else resize_linear(sign, IMAGE_SIZE)
             save_path = out / f"{img_path.stem}_{idx}.png"
             imwrite(str(save_path), crop)
             recs.append({"source": source, "image_path": str(save_path),
@@ -360,7 +372,7 @@ def process_mapillary(base_dir, output_dir, split="train", *, log=print):
                 y2 = min(img.shape[0], int(bbox.get("ymax", 0)))
                 if not _valid_box(x1, y1, x2, y2):
                     continue
-                crop = resize_area(img[y1:y2, x1:x2], IMAGE_SIZE)
+                crop = resize_linear(img[y1:y2, x1:x2], IMAGE_SIZE)
                 save_path = out / f"{_dt}_{key}_{x1}_{y1}.png"
                 imwrite(str(save_path), crop)
                 label = obj.get("label", "unknown")
@@ -497,9 +509,9 @@ def _pooled(work, items, desc, log, *, flatten=False, max_workers=8):
 
 
 def save_metadata_records(records: Iterable[dict], output_path) -> None:
+    """Always writes the file — an empty split gets a header-only CSV so
+    downstream stages see an empty dataset instead of FileNotFoundError."""
     records = list(records)
-    if not records:
-        return
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
     with open(output_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["image_path", "source",

@@ -35,8 +35,13 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
 
 
 def eval_transform_pil(img: Image.Image, *, resize: int = 256, crop: int = 224) -> np.ndarray:
-    """PIL RGB image -> uint8 HWC array, torchvision-eval-pipeline parity."""
+    """PIL RGB image -> uint8 HWC array, torchvision-eval-pipeline parity.
+
+    Applied unconditionally — the reference resamples even already-crop-sized
+    images (its adversarial PNGs are 224px and still go through
+    Resize(256)+CenterCrop(224), train_loras.py:187-191 /
+    eval_compose.py:134-138 — the resampling partially smooths perturbations,
+    and robust-accuracy parity requires reproducing that)."""
     img = img.convert("RGB")
-    if img.size != (crop, crop):
-        img = center_crop(resize_shorter(img, resize), crop)
+    img = center_crop(resize_shorter(img, resize), crop)
     return np.asarray(img, np.uint8)

@@ -54,7 +54,7 @@ class FitResult:
 
 def _device_batch(batch, mesh):
     """uint8 batch -> device arrays ([0,1] floats happen on device)."""
-    images = batch.images.astype(np.float32) / 255.0
+    images = batch.images_f32()
     if mesh is not None:
         images, labels, valid = pmesh.shard_batch(mesh, images, batch.labels,
                                                   batch.valid)

@@ -77,8 +77,6 @@ def resize_center_crop(img: np.ndarray, resize: int, crop: int) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native library unavailable")
     img = np.ascontiguousarray(img, np.uint8)
-    if img.shape[:2] == (crop, crop):  # eval_transform_pil skips resize
-        return img.copy()
     out = np.empty((crop, crop, 3), np.uint8)
     lib.apvt_resize_center_crop(_u8ptr(img), img.shape[0], img.shape[1],
                                 resize, crop, _u8ptr(out))
@@ -93,8 +91,6 @@ def batch_resize_center_crop(imgs: np.ndarray, resize: int, crop: int,
         raise RuntimeError("native library unavailable")
     imgs = np.ascontiguousarray(imgs, np.uint8)
     n, h, w, _ = imgs.shape
-    if (h, w) == (crop, crop):  # eval_transform_pil skips resize
-        return imgs.copy()
     out = np.empty((n, crop, crop, 3), np.uint8)
     lib.apvt_batch_resize_center_crop(_u8ptr(imgs), n, h, w, resize, crop,
                                       _u8ptr(out), max_threads)
