@@ -62,7 +62,7 @@ def init(rng: jax.Array, cfg: ConvNeXtConfig) -> dict:
     r_stem, r_stages, r_head = jax.random.split(rng, 3)
     stem_w = jax.random.truncated_normal(r_stem, -2, 2,
                                          (4, 4, 3, cfg.dims[0]), dtype) * 0.02
-    stages = []
+    stages = {}
     for s, depth in enumerate(cfg.depths):
         dim = cfg.dims[s]
         rngs = jax.random.split(jax.random.fold_in(r_stages, s), depth)
@@ -76,7 +76,7 @@ def init(rng: jax.Array, cfg: ConvNeXtConfig) -> dict:
                     r_ds, -2, 2, (2, 2, cfg.dims[s - 1], dim), dtype) * 0.02,
                     "b": jnp.zeros((dim,), dtype)},
             }
-        stages.append(stage)
+        stages[str(s)] = stage
     return {
         "stem": {"conv": {"w": stem_w, "b": jnp.zeros((cfg.dims[0],), dtype)},
                  "norm": layer_norm_init(cfg.dims[0], dtype=dtype)},
@@ -115,13 +115,13 @@ def features(cfg: ConvNeXtConfig, params: dict, images: jax.Array) -> jax.Array:
     x = layer_norm(params["stem"]["norm"], x, eps=cfg.layer_norm_eps)
     for s in range(len(cfg.depths)):
         if s > 0:
-            ds = params["stages"][s]["downsample"]
+            ds = params["stages"][str(s)]["downsample"]
             x = layer_norm(ds["norm"], x, eps=cfg.layer_norm_eps)
             x = _conv(x, ds["conv"]["w"], ds["conv"]["b"], stride=2,
                       padding="VALID")
         def body(h, bp):
             return _block(cfg, bp, h), None
-        x, _ = jax.lax.scan(body, x, params["stages"][s]["blocks"])
+        x, _ = jax.lax.scan(body, x, params["stages"][str(s)]["blocks"])
     return x
 
 

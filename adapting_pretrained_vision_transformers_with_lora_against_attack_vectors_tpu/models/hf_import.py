@@ -167,7 +167,7 @@ def swin_params_from_hf(state_dict: Mapping, cfg, *, dtype=np.float32) -> dict:
     d = conv_w.shape[0]
     proj_w = conv_w.transpose(2, 3, 1, 0).reshape(p * p * 3, d)
 
-    stages = []
+    stages = {}
     for s, depth in enumerate(cfg.depths):
         prefix = f"swin.encoder.layers.{s}"
         per_block = []
@@ -214,7 +214,7 @@ def swin_params_from_hf(state_dict: Mapping, cfg, *, dtype=np.float32) -> dict:
                          "bias": get(f"{prefix}.downsample.norm.bias")},
                 "reduce": {"w": get(f"{prefix}.downsample.reduction.weight").T},
             }
-        stages.append(stage)
+        stages[str(s)] = stage
 
     return {
         "embed": {
@@ -247,7 +247,7 @@ def convnext_params_from_hf(state_dict: Mapping, cfg, *,
     def conv_w(name):
         return get(name).transpose(2, 3, 1, 0)
 
-    stages = []
+    stages = {}
     for s, depth in enumerate(cfg.depths):
         prefix = f"convnext.encoder.stages.{s}"
         per_block = []
@@ -274,7 +274,7 @@ def convnext_params_from_hf(state_dict: Mapping, cfg, *,
                 "conv": {"w": conv_w(f"{prefix}.downsampling_layer.1.weight"),
                          "b": get(f"{prefix}.downsampling_layer.1.bias")},
             }
-        stages.append(stage)
+        stages[str(s)] = stage
 
     return {
         "stem": {"conv": {"w": conv_w("convnext.embeddings.patch_embeddings.weight"),

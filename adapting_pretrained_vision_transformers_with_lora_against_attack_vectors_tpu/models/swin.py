@@ -119,7 +119,7 @@ def init(rng: jax.Array, cfg: SwinConfig) -> dict:
     r_embed, r_stages, r_head = jax.random.split(rng, 3)
     patch_dim = cfg.patch_size * cfg.patch_size * 3
 
-    stages = []
+    stages = {}
     for s, depth in enumerate(cfg.depths):
         dim = cfg.stage_dim(s)
         heads = cfg.num_heads[s]
@@ -136,7 +136,7 @@ def init(rng: jax.Array, cfg: SwinConfig) -> dict:
                 "reduce": {"w": dense_init(jax.random.fold_in(r_stages, 100 + s),
                                            4 * dim, 2 * dim, dtype=dtype)["w"]},
             }
-        stages.append(stage)
+        stages[str(s)] = stage
 
     return {
         "embed": {
@@ -240,10 +240,10 @@ def features(cfg: SwinConfig, params: dict, images: jax.Array) -> jax.Array:
                        mask=_mask)
             return h, None
 
-        x, _ = jax.lax.scan(pair_fn, x, params["stages"][s]["blocks"])
+        x, _ = jax.lax.scan(pair_fn, x, params["stages"][str(s)]["blocks"])
 
         if s < cfg.num_stages - 1:
-            mp = params["stages"][s]["merge"]
+            mp = params["stages"][str(s)]["merge"]
             b_, r, _, d = x.shape
             x = x.reshape(b_, r // 2, 2, r // 2, 2, d)
             # timm concat order: (0,0), (1,0), (0,1), (1,1)

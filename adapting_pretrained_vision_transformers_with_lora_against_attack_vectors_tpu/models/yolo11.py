@@ -106,8 +106,16 @@ def _conv(cfg, p, x, *, stride=1, groups=1, act=True):
         a = p["lora_a"][0, 0].astype(x.dtype)
         b = p["lora_b"][0, 0].astype(x.dtype)
         s = p["lora_s"].reshape(()).astype(jnp.float32)
+        xb = x
+        if "lora_rng" in p:
+            # training-form lora_dropout, same semantics as ops.nn.dense:
+            # inverted dropout on the adapter-branch input only
+            keep = 1.0 - p["lora_p"].reshape(())
+            key = p["lora_rng"].reshape(())
+            mask = jax.random.bernoulli(key, keep, x.shape)
+            xb = x * (mask / keep).astype(x.dtype)
         out = out + s * jnp.einsum(
-            "bhwr,ro->bhwo", jnp.einsum("bhwi,ir->bhwr", x, a,
+            "bhwr,ro->bhwo", jnp.einsum("bhwi,ir->bhwr", xb, a,
                                         preferred_element_type=jnp.float32
                                         ).astype(x.dtype), b,
             preferred_element_type=jnp.float32)
@@ -140,14 +148,15 @@ def _c3k_init(rng, c, n, dtype):
         "cv1": _conv_init(rngs[0], 1, c, c_, dtype),
         "cv2": _conv_init(rngs[1], 1, c, c_, dtype),
         "cv3": _conv_init(rngs[2], 1, 2 * c_, c, dtype),
-        "m": [_bottleneck_init(rngs[3 + i], c_, dtype, e=1.0) for i in range(n)],
+        "m": {str(i): _bottleneck_init(rngs[3 + i], c_, dtype, e=1.0)
+              for i in range(n)},
     }
 
 
 def _c3k(cfg, p, x):
     a = _conv(cfg, p["cv1"], x)
-    for bp in p["m"]:
-        a = _bottleneck(cfg, bp, a)
+    for i in sorted(p["m"], key=int):
+        a = _bottleneck(cfg, p["m"][i], a)
     b = _conv(cfg, p["cv2"], x)
     return _conv(cfg, p["cv3"], jnp.concatenate([a, b], axis=-1))
 
@@ -155,9 +164,9 @@ def _c3k(cfg, p, x):
 def _c3k2_init(rng, c_in, c_out, n, dtype, *, c3k=False, e=0.25):
     rngs = jax.random.split(rng, 2 + n)
     c = int(c_out * e)
-    mods = [(_c3k_init(rngs[2 + i], c, 2, dtype) if c3k
-             else _bottleneck_init(rngs[2 + i], c, dtype, e=0.5))
-            for i in range(n)]
+    mods = {str(i): (_c3k_init(rngs[2 + i], c, 2, dtype) if c3k
+                     else _bottleneck_init(rngs[2 + i], c, dtype, e=0.5))
+            for i in range(n)}
     return {
         "cv1": _conv_init(rngs[0], 1, c_in, 2 * c, dtype),
         "cv2": _conv_init(rngs[1], 1, (2 + n) * c, c_out, dtype),
@@ -169,7 +178,8 @@ def _c3k2(cfg, p, x, *, c3k: bool):
     h = _conv(cfg, p["cv1"], x)
     c = h.shape[-1] // 2
     ys = [h[..., :c], h[..., c:]]
-    for bp in p["m"]:
+    for i in sorted(p["m"], key=int):
+        bp = p["m"][i]
         ys.append(_c3k(cfg, bp, ys[-1]) if c3k else
                   _bottleneck(cfg, bp, ys[-1]))
     return _conv(cfg, p["cv2"], jnp.concatenate(ys, axis=-1))
@@ -231,7 +241,8 @@ def _c2psa_init(rng, c, n, dtype):
     return {
         "cv1": _conv_init(rngs[0], 1, c, 2 * c_, dtype),
         "cv2": _conv_init(rngs[1], 1, 2 * c_, c, dtype),
-        "m": [_psablock_init(rngs[2 + i], c_, dtype) for i in range(n)],
+        "m": {str(i): _psablock_init(rngs[2 + i], c_, dtype)
+              for i in range(n)},
     }
 
 
@@ -239,8 +250,8 @@ def _c2psa(cfg, p, x):
     h = _conv(cfg, p["cv1"], x)
     c = h.shape[-1] // 2
     a, b = h[..., :c], h[..., c:]
-    for bp in p["m"]:
-        b = _psablock(cfg, bp, b)
+    for i in sorted(p["m"], key=int):
+        b = _psablock(cfg, p["m"][i], b)
     return _conv(cfg, p["cv2"], jnp.concatenate([a, b], axis=-1))
 
 

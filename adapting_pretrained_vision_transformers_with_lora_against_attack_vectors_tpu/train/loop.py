@@ -100,6 +100,7 @@ def fit(
     augment=None,
     init_state: Optional[TrainState] = None,
     start_epoch: int = 0,
+    init_best: Optional[tuple] = None,
 ) -> FitResult:
     """Shared epoch engine: train ``epochs`` epochs, track best-on-val params.
 
@@ -113,7 +114,12 @@ def fit(
     eval_step = make_eval_step(forward, num_classes, normalize=normalize)
 
     state = init_state if init_state is not None else TrainState.create(trainable, tx)
-    best_params, best_acc, best_epoch = state.params, -1.0, -1
+    if init_best is not None:
+        # resume: carry the pre-crash best so worse post-resume epochs can't
+        # silently overwrite the true best checkpoint
+        best_params, best_acc, best_epoch = init_best
+    else:
+        best_params, best_acc, best_epoch = state.params, -1.0, -1
     history: list[dict] = []
 
     for epoch in range(start_epoch, epochs):
@@ -214,11 +220,16 @@ def train_base_model(
     vocab.save(os.path.join(out_dir, "class_mappings.txt"))
 
     resume_prefix = os.path.join(out_dir, "resume")
-    init_state, start_epoch = None, 0
+    init_state, start_epoch, init_best = None, 0, None
     if resume and os.path.exists(resume_prefix + ".params.safetensors"):
         init_state, meta = checkpoint.load_train_state(
             resume_prefix, tx, state_cls=TrainState)
         start_epoch = int(meta.get("epoch", -1)) + 1
+        best_path = resume_prefix + ".best.safetensors"
+        if os.path.exists(best_path):
+            b_params, b_meta = checkpoint.load_pytree(best_path)
+            init_best = (b_params, float(b_meta.get("val_accuracy", -1.0)),
+                         int(b_meta.get("epoch", -1)))
         log(f"resuming from epoch {start_epoch} (step {int(init_state.step)})")
 
     from ..utils.observability import MetricsLogger
@@ -227,16 +238,24 @@ def train_base_model(
         metrics.log("train_start", model=model_name, source=source,
                     epochs=epochs, lr=lr, start_epoch=start_epoch)
 
+        best_seen = {"acc": init_best[1] if init_best else -1.0}
+
         def save_resume(epoch, rec, state):
             checkpoint.save_train_state(state, resume_prefix,
                                         meta={"epoch": epoch})
+            va = rec.get("val_accuracy", -1.0)
+            if va > best_seen["acc"]:
+                best_seen["acc"] = va
+                checkpoint.save_pytree(
+                    state.params, resume_prefix + ".best.safetensors",
+                    meta={"epoch": epoch, "val_accuracy": va})
 
         result = fit(forward, params, tx, train_loader, val_loader,
                      epochs=epochs, num_classes=len(vocab),
                      normalize=normalize, mesh=mesh, log=log, metrics=metrics,
                      step_rng=step_rng, augment=aug_fn,
                      init_state=init_state, start_epoch=start_epoch,
-                     on_epoch_end=save_resume)
+                     init_best=init_best, on_epoch_end=save_resume)
 
     best_path = os.path.join(out_dir, f"{model_name}_best_model_finetuned.safetensors")
     checkpoint.save_pytree(result.best_params, best_path,

@@ -5,6 +5,12 @@ LoRA adapters, sharding rules, weight importers, and the eval harness all
 address leaves (or subtrees) by '/'-joined string paths such as
 ``"blocks/attn/q"``. These helpers implement that addressing functionally —
 every mutation returns a new tree, inputs are never modified.
+
+FRAMEWORK CONVENTION: param trees are **dict-only** — repeated submodules use
+string-integer keys (``{"0": ..., "1": ...}``), never Python lists. Lists
+flatten fine but :func:`unflatten_from_paths` (used by checkpoint loading,
+sharding-tree construction, and ``lora.detach``) rebuilds dict nodes only, so
+a list-bearing tree would come back structurally different.
 """
 
 from __future__ import annotations

@@ -210,3 +210,75 @@ def test_backbone_end_to_end_slice(name, tmp_path):
     o2 = entry.apply(cfg, lora.attach(params, lstate.params, lcfg), images)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-4,
                                rtol=1e-3)
+
+
+@pytest.mark.parametrize("name", TEST_MODELS)
+def test_checkpoint_round_trip_all_backbones(name, tmp_path):
+    """save_pytree/load_pytree must reproduce a tree that apply() accepts for
+    every backbone (review finding: dict-only unflatten corrupted
+    list-bearing trees — param trees are now dict-only by convention)."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import checkpoint
+
+    entry = registry.get_model(name)
+    cfg = entry.config(3)
+    params = entry.init(jax.random.key(0), cfg)
+    path = str(tmp_path / "p.safetensors")
+    checkpoint.save_pytree(params, path)
+    loaded, _ = checkpoint.load_pytree(path)
+    assert jax.tree.structure(loaded) == jax.tree.structure(params)
+    x = jax.random.uniform(jax.random.key(1), (1, cfg.image_size,
+                                               cfg.image_size, 3))
+    np.testing.assert_allclose(np.asarray(entry.apply(cfg, params, x)),
+                               np.asarray(entry.apply(cfg, loaded, x)),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("name", TEST_MODELS)
+def test_mesh_shardings_all_backbones(name, eight_devices):
+    """tree_shardings + device_put + jitted forward must work for every
+    backbone (review finding: structure mismatch for list-bearing trees)."""
+    from apvt_lora.parallel import mesh as pmesh
+
+    m = pmesh.make_mesh(pmesh.MeshSpec(data=8, model=1))
+    entry = registry.get_model(name)
+    cfg = entry.config(3)
+    params = entry.init(jax.random.key(0), cfg)
+    params_sh = jax.device_put(params, pmesh.tree_shardings(m, params))
+    x = pmesh.shard_batch(
+        m, np.random.default_rng(0).random(
+            (8, cfg.image_size, cfg.image_size, 3)).astype(np.float32))
+    out = jax.jit(entry.apply, static_argnums=0)(cfg, params_sh, x)
+    assert out.shape == (8, 3)
+
+
+@pytest.mark.parametrize("name", TEST_MODELS)
+def test_lora_detach_all_backbones(name):
+    """detach(attach(params)) restores the exact original structure for every
+    backbone (review finding)."""
+    entry = registry.get_model(name)
+    cfg = entry.config(3)
+    params = entry.init(jax.random.key(0), cfg)
+    lcfg = lora.LoRAConfig(rank=2, targets=entry.lora_targets(cfg))
+    ad = lora.init(jax.random.key(1), params, lcfg)
+    restored = lora.detach(lora.attach(params, ad, lcfg))
+    assert jax.tree.structure(restored) == jax.tree.structure(params)
+
+
+def test_yolo11_lora_dropout_active():
+    """The 1x1-conv LoRA branch honors the training-form dropout leaves
+    (review finding: previously silently ignored)."""
+    entry = registry.get_model("yolo11_test")
+    cfg = entry.config(3)
+    params = entry.init(jax.random.key(0), cfg)
+    lcfg = lora.LoRAConfig(rank=2, alpha=4.0, dropout=0.5,
+                           targets=entry.lora_targets(cfg))
+    ad = jax.tree.map(lambda v: v + 0.05, lora.init(jax.random.key(1), params, lcfg))
+    x = jax.random.uniform(jax.random.key(2), (2, cfg.image_size,
+                                               cfg.image_size, 3))
+    t1 = entry.apply(cfg, lora.attach(params, ad, lcfg,
+                                      dropout_rng=jax.random.key(3)), x)
+    t2 = entry.apply(cfg, lora.attach(params, ad, lcfg,
+                                      dropout_rng=jax.random.key(4)), x)
+    ev = entry.apply(cfg, lora.attach(params, ad, lcfg), x)
+    assert float(jnp.abs(t1 - t2).max()) > 1e-7  # dropout draws differ
+    assert float(jnp.abs(t1 - ev).max()) > 1e-7  # training form != eval form

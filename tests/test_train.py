@@ -127,3 +127,40 @@ def test_train_base_model_resume(tmp_path):
                                     resume=True, log=logs.append)
     assert any("resuming from epoch 1" in s for s in logs)
     assert [h["epoch"] for h in summary["history"]] == [1]
+
+
+def test_resume_preserves_best_checkpoint(tmp_path):
+    """A resumed run must not overwrite a better pre-crash best checkpoint
+    with worse post-resume params (review finding)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data import synthetic
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import Loader, MetadataIndex
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import loop
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import checkpoint
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+
+    root = str(tmp_path)
+    synthetic.make_synthetic_dataset(root + "/d", n_per_class=4, image_size=32)
+    vocab = LabelVocabulary.from_classes(synthetic.DEFAULT_CLASSES)
+    entry = registry.get_model("vit_test")
+    params = entry.init(jax.random.key(0), entry.config(len(vocab)))
+    mk = lambda s: Loader(MetadataIndex(f"{root}/d/{s}/metadata.csv", vocab),
+                          batch_size=10, image_size=32, resize=32)
+    out = root + "/out"
+
+    s1 = loop.train_base_model(entry, params, mk("train"), mk("val"), None,
+                               vocab, out_dir=out, epochs=1,
+                               log=lambda s: None)
+    assert os.path.exists(os.path.join(out, "resume.best.safetensors"))
+    first_best = s1["best_val_accuracy"]
+
+    s2 = loop.train_base_model(entry, params, mk("train"), mk("val"), None,
+                               vocab, out_dir=out, epochs=2, resume=True,
+                               log=lambda s: None)
+    # the carried best can only improve or stay — never regress
+    assert s2["best_val_accuracy"] >= first_best - 1e-9
