@@ -45,7 +45,12 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     n_chips = max(1, len(jax.devices()))
 
-    cfg = vit.VIT_B16.with_classes(21)
+    import dataclasses
+
+    # Pallas whole-head attention (kernels/attention.py, 4 heads per grid
+    # program): measured +4% end-to-end over XLA's fusion on v5e.
+    cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
+                              use_fused_attention=True)
     lcfg = lora.LoRAConfig(rank=8, alpha=16.0, targets=vit.LORA_TARGETS_DEFAULT)
 
     # One jitted setup program (eager init would cost hundreds of per-op
