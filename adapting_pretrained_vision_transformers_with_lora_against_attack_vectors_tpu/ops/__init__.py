@@ -1,2 +1,2 @@
-from .nn import dense, dense_init, layer_norm, layer_norm_init, gelu  # noqa: F401
-from . import lora  # noqa: F401
+from . import bilora, lora, peft_io  # noqa: F401
+from .nn import attention, dense, dense_init, gelu, layer_norm, layer_norm_init  # noqa: F401

@@ -1,2 +1,2 @@
-from . import trees  # noqa: F401
+from . import checkpoint, native, observability, trees  # noqa: F401
 from .vocab import LabelVocabulary  # noqa: F401
