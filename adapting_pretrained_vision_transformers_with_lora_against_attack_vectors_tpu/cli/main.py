@@ -50,7 +50,7 @@ def _loaders_for(args, vocab, splits, *, batch_size, shuffle_train=True,
         idx = MetadataIndex(meta, vocab, root_dir=args.data_root,
                             sources=getattr(args, "sources", None))
         out[split] = Loader(idx, batch_size=batch_size, image_size=image_size,
-                            resize=resize,
+                            resize=resize, seed=getattr(args, "seed", 0),
                             shuffle=(split == "train" and shuffle_train))
     return out
 
@@ -73,10 +73,13 @@ def _build_vocab(args, splits=("train", "val", "test")):
 
 
 def _load_base(args, num_classes):
+    import jax
+
     from ..models.pretrained import load_pretrained
 
     return load_pretrained(args.model, num_classes,
-                           getattr(args, "checkpoint", None))
+                           getattr(args, "checkpoint", None),
+                           rng=jax.random.key(getattr(args, "seed", 0)))
 
 
 def _base_ckpt_path(out_root, model, source):
@@ -103,6 +106,8 @@ def cmd_synth_data(args):
 
 
 def cmd_train(args):
+    import jax
+
     from ..train import loop
 
     vocab = _build_vocab(args)
@@ -116,7 +121,7 @@ def cmd_train(args):
         entry, params, loaders["train"], loaders["val"], loaders["test"],
         vocab, out_dir=out_dir, epochs=args.epochs, lr=args.learning_rate,
         weight_decay=args.weight_decay, model_name=args.model, source=source,
-        resume=args.resume)
+        resume=args.resume, rng=jax.random.key(args.seed))
     print(json.dumps({k: v for k, v in summary.items() if k != "history"},
                      indent=2, default=str))
 
@@ -134,8 +139,11 @@ def _attack_loaders_and_model(args):
     from ..models.pretrained import load_pretrained
     from ..utils import checkpoint as ckpt
 
-    entry, cfg, params = load_pretrained(args.model, len(vocab), None)
     if args.model_path.endswith(".safetensors"):
+        from ..models.registry import get_model
+
+        entry = get_model(args.model)
+        cfg = entry.config(len(vocab))
         params, _ = ckpt.load_pytree(args.model_path)
     else:
         entry, cfg, params = load_pretrained(args.model, len(vocab),
@@ -266,6 +274,9 @@ def cmd_patch_attack(args):
                 n += int(keep.sum())
                 if n >= args.patch_sample_size:
                     break
+            if not xs:
+                print(f"skip {split}: no samples after filtering")
+                continue
             images = np.concatenate(xs)[: args.patch_sample_size]
             labels = np.concatenate(ys)[: args.patch_sample_size]
             patch, losses = train_fn(params, images, labels,
@@ -320,6 +331,9 @@ def cmd_rp2_attack(args):
             keep = b.valid > 0
             xs.append(b.images[keep].astype(np.float32) / 255.0)
             ys.append(b.labels[keep])
+        if not xs:
+            print(f"skip {split}: no samples after filtering")
+            continue
         images, labels = np.concatenate(xs), np.concatenate(ys)
 
         patches = rp2.train_rp2_patches(
@@ -387,11 +401,14 @@ def cmd_train_lora(args):
                               shuffle=True)
         val_dir = os.path.join(args.adv_root, args.model, source, "val", attack)
         val_meta = os.path.join(val_dir, "metadata.csv")
-        val_loader = (Loader(MetadataIndex(val_meta, vocab, root_dir=val_dir),
-                             batch_size=args.batch_size,
-                             image_size=cfg.image_size,
-                             resize=_eval_resize(cfg.image_size))
-                      if os.path.exists(val_meta) else train_loader)
+        if os.path.exists(val_meta):
+            val_loader = Loader(MetadataIndex(val_meta, vocab, root_dir=val_dir),
+                                batch_size=args.batch_size,
+                                image_size=cfg.image_size,
+                                resize=_eval_resize(cfg.image_size))
+        else:
+            print(f"{attack}: no val split — best adapter = final epoch")
+            val_loader = None
 
         for rank in args.ranks:
             # sweep-level failure isolation: one broken (attack, rank) combo
@@ -405,7 +422,8 @@ def cmd_train_lora(args):
                 res = loop.train_lora_adapter(
                     entry, params, lcfg, train_loader, val_loader, vocab,
                     out_dir=out_dir, epochs=args.epochs, lr=args.learning_rate,
-                    model_name=args.model, rng=jax.random.key(args.seed))
+                    model_name=args.model, cfg=cfg,
+                    rng=jax.random.key(args.seed))
             except Exception as e:  # noqa: BLE001
                 import traceback
 
@@ -416,8 +434,9 @@ def cmd_train_lora(args):
             res.pop("best_trainable", None)
             all_results.setdefault(attack, {})[f"rank{rank}"] = {
                 k: v for k, v in res.items() if k != "history"}
+            bva = res["best_val_accuracy"]
             print(f"{attack} rank{rank}: best val acc "
-                  f"{res['best_val_accuracy']:.4f}")
+                  + (f"{bva:.4f}" if bva is not None else "n/a (no val split)"))
         results_path = os.path.join(args.output_dir, args.model, source,
                                     attack, "results.json")
         os.makedirs(os.path.dirname(results_path), exist_ok=True)
@@ -443,7 +462,8 @@ def cmd_eval_compose(args):
         loaders["clean"] = Loader(
             MetadataIndex(clean_meta, vocab, root_dir=args.data_root,
                           sources=args.sources),
-            batch_size=args.batch_size, image_size=cfg.image_size)
+            batch_size=args.batch_size, image_size=cfg.image_size,
+            resize=_eval_resize(cfg.image_size))
     adv_base = os.path.join(args.adv_root, args.model, source, "test")
     if os.path.isdir(adv_base):
         for attack in sorted(os.listdir(adv_base)):
@@ -463,7 +483,7 @@ def cmd_eval_compose(args):
 
     results = compose.run_composability_eval(
         entry, params, adapters, loaders, len(vocab),
-        test_mode=args.test_mode, normalize=normalize,
+        test_mode=args.test_mode, normalize=normalize, cfg=cfg,
         out_path=os.path.join(args.output_dir, "test_results.json"))
     print(compose.format_summary_table(results))
 

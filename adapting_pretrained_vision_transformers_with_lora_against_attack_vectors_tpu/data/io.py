@@ -25,8 +25,6 @@ import numpy as np
 import pandas as pd
 from PIL import Image
 
-from ..attacks.common import uint8_quantize
-
 METADATA_COLUMNS = ("image_path", "source", "original_class", "unified_class")
 
 
@@ -54,6 +52,10 @@ def save_images(images, filenames: Sequence[str], output_dir: str, *,
     ``pool``: optional caller-owned executor — per-batch callers (e.g.
     ``attacks.generate``) pass one pool for the whole split instead of
     spawning/joining threads every batch."""
+    # lazy: data.io <-> attacks would otherwise cycle through the package
+    # __init__ re-exports (attacks.generate imports data.io)
+    from ..attacks.common import uint8_quantize
+
     os.makedirs(output_dir, exist_ok=True)
     arr = uint8_quantize(images)
 

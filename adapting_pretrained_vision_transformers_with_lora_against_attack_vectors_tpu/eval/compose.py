@@ -104,6 +104,7 @@ def run_composability_eval(
     mesh=None,
     normalize: Optional[Normalizer] = None,
     out_path: Optional[str] = None,
+    cfg=None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """The full matrix: every variant × every dataset.
@@ -112,7 +113,7 @@ def run_composability_eval(
     Returns ``{variant: {dataset: {accuracy, f1, ...}}}`` and optionally
     writes it as JSON (reference ``test_results.json``, eval_compose.py:485-487).
     """
-    cfg = entry.config(num_classes)
+    cfg = cfg if cfg is not None else entry.config(num_classes)
     normalize = normalize or Normalizer(*get_normalization(entry.name))
     eval_step = make_eval_step(lambda p, x: entry.apply(cfg, p, x),
                                num_classes, normalize=normalize)

@@ -171,3 +171,12 @@ def attention_reference(q, k, v):
     from ..ops.nn import attention
 
     return attention(q, k, v)
+
+
+def attention_auto(q, k, v):
+    """Backend-aware dispatch: the Pallas kernel on TPU, the XLA composition
+    everywhere else (Mosaic won't lower off-TPU outside interpret mode).
+    The backend is a trace-time global, so this costs nothing under jit."""
+    if jax.default_backend() == "tpu":
+        return fused_attention(q, k, v)
+    return attention_reference(q, k, v)

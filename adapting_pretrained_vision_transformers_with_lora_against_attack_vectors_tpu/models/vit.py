@@ -136,9 +136,9 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
     k = dense(bp["attn"]["k"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
     v = dense(bp["attn"]["v"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
     if cfg.use_fused_attention:
-        from ..kernels.attention import fused_attention
+        from ..kernels.attention import attention_auto
 
-        attn_out = fused_attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+        attn_out = attention_auto(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
     else:
         attn_out = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
     x = x + dense(bp["attn"]["o"], attn_out, compute_dtype=cd)

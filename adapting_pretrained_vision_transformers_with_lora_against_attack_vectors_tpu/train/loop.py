@@ -163,7 +163,7 @@ def fit(
             on_epoch_end(epoch, rec, state)
 
     if best_epoch < 0:  # no val loader: final params are "best"
-        best_params, best_acc, best_epoch = state.params, float("nan"), epochs - 1
+        best_params, best_acc, best_epoch = state.params, None, epochs - 1
     return FitResult(state, best_params, best_acc, best_epoch, history)
 
 
@@ -187,6 +187,7 @@ def train_base_model(
     resume: bool = False,
     augment: bool = True,
     rng=None,
+    cfg=None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Full fine-tune (reference ``train.py:113-296`` capability).
@@ -204,8 +205,11 @@ def train_base_model(
 
     from ..data.augment import train_augment
 
+    if train_loader is None:
+        raise ValueError("no train split found (train/metadata.csv missing "
+                         "or empty after source filtering)")
     model_name = model_name or entry.name
-    cfg = entry.config(len(vocab))
+    cfg = cfg if cfg is not None else entry.config(len(vocab))
     normalize = Normalizer(*get_normalization(model_name))
     forward = lambda p, x, rng=None: entry.apply(cfg, p, x)
     aug_fn = train_augment if augment else None
@@ -280,7 +284,8 @@ def train_base_model(
         summary["test_f1"] = test["f1"]
         log(f"test: acc {test['accuracy']:.4f} f1 {test['f1']:.4f}")
 
-    _write_results_csv(os.path.join(out_dir, "training_results.csv"), summary)
+    _write_results_csv(os.path.join(out_dir, "training_results.csv"), summary,
+                       append=start_epoch > 0)
     return summary
 
 
@@ -299,9 +304,13 @@ def train_lora_adapter(
     rng: Optional[jax.Array] = None,
     mesh=None,
     model_name: Optional[str] = None,
+    cfg=None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Per-attack LoRA defense training (reference ``train_loras.py:118-395``).
+
+    ``cfg``: optional model-config override (e.g. with ``use_fused_attention``
+    flipped); defaults to ``entry.config(len(vocab))``.
 
     The trainable pytree is the adapter (plus, like PEFT ``SEQ_CLS``, the
     classifier head when ``train_head``); the base stays frozen and closed
@@ -309,7 +318,7 @@ def train_lora_adapter(
     PEFT format (reference layout, train_loras.py:342-355).
     """
     model_name = model_name or entry.name
-    cfg = entry.config(len(vocab))
+    cfg = cfg if cfg is not None else entry.config(len(vocab))
     normalize = Normalizer(*get_normalization(model_name))
     rng = rng if rng is not None else jax.random.key(0)
 
@@ -355,15 +364,18 @@ def train_lora_adapter(
     }
 
 
-def _write_results_csv(path: str, summary: dict) -> None:
+def _write_results_csv(path: str, summary: dict, *, append: bool = False) -> None:
     import csv
 
     rows = summary.get("history", [])
     if not rows:
         return
     keys = sorted({k for r in rows for k in r})
-    with open(path, "w", newline="") as f:
+    # resumed runs append so pre-crash epochs aren't truncated away
+    mode = "a" if append and os.path.exists(path) else "w"
+    with open(path, mode, newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)
-        w.writeheader()
+        if mode == "w":
+            w.writeheader()
         for r in rows:
             w.writerow(r)

@@ -123,3 +123,26 @@ def test_cli_autoattack(cli_root):
          "--suite", "apgd-ce", "square"])
     assert os.path.exists(os.path.join(adv, "vit_test", "all", "test",
                                        "autoattack", "metadata.csv"))
+
+
+def test_cli_train_lora_without_val_split(cli_root, capsys):
+    """No adversarial val split -> best adapter = final epoch, no shuffled-
+    train-as-val fallback (review finding); --fused_attention is accepted on
+    CPU (backend-aware kernel dispatch)."""
+    root = cli_root
+    data = os.path.join(root, "data")
+    ckpt = os.path.join(root, "train_out", "vit_test", "all",
+                        "vit_test_best_model_finetuned.safetensors")
+    loras = os.path.join(root, "loras_noval")
+    run(["train-lora", "--data_root", data, "--model", "vit_test",
+         "--model_path", ckpt, "--adv_root", os.path.join(root, "adv"),
+         "--output_dir", loras, "--attacks", "fgsm", "--ranks", "2",
+         "--epochs", "1", "--batch_size", "10", "--fused_attention"])
+    out = capsys.readouterr().out
+    assert "no val split" in out
+    assert os.path.isdir(os.path.join(loras, "vit_test", "all", "fgsm",
+                                      "rank2_final_adapter"))
+    with open(os.path.join(loras, "vit_test", "all", "fgsm",
+                           "results.json")) as f:
+        res = json.load(f)
+    assert res["rank2"]["best_val_accuracy"] is None
