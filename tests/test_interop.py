@@ -230,3 +230,48 @@ def test_peft_io_non_vit_targets_round_trip(tmp_path):
                                    loaded[path]["a"], atol=1e-6)
         np.testing.assert_allclose(np.asarray(adapter[path]["b"]),
                                    loaded[path]["b"], atol=1e-6)
+
+
+def test_two_adapter_composition_matches_peft_sequential_merge(hf_model, tmp_path):
+    """Our summed-delta composition (eval/compose.build_variant_params) must
+    equal the reference's iterative PeftModel.from_pretrained +
+    merge_and_unload chain (eval_compose.py:102-114) for two adapters."""
+    import copy
+
+    import peft
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.eval import compose
+
+    def make_peft_adapter(seed, rank, out_dir):
+        lora_cfg = peft.LoraConfig(r=rank, lora_alpha=16, lora_dropout=0.0,
+                                   target_modules=["query", "value"])
+        m = peft.get_peft_model(copy.deepcopy(hf_model), lora_cfg)
+        torch.manual_seed(seed)
+        with torch.no_grad():
+            for name, p in m.named_parameters():
+                if "lora_B" in name:
+                    p.add_(torch.randn_like(p) * 0.05)
+        m.save_pretrained(out_dir)
+
+    d1, d2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+    make_peft_adapter(1, 4, d1)
+    make_peft_adapter(2, 8, d2)
+
+    # torch reference: sequential merge chain
+    m = copy.deepcopy(hf_model)
+    m = peft.PeftModel.from_pretrained(m, d1).merge_and_unload()
+    m = peft.PeftModel.from_pretrained(m, d2).merge_and_unload()
+    m.eval()
+
+    # ours: one summed-delta pass through the compose harness
+    base = hf_import.vit_params_from_hf(hf_model.state_dict(), OUR_CFG)
+    adapters = {"a1": peft_io.load_peft_adapter(d1),
+                "a2": peft_io.load_peft_adapter(d2)}
+    merged = compose.build_variant_params(base, ("a1", "a2"), adapters)
+
+    rng = np.random.default_rng(3)
+    images = rng.random((2, 32, 32, 3), np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(images.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(vit.apply(OUR_CFG, merged, jnp.asarray(images)))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
