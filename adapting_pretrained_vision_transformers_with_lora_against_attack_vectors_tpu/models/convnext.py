@@ -88,14 +88,17 @@ def init(rng: jax.Array, cfg: ConvNeXtConfig) -> dict:
 
 def _conv(x: jax.Array, w: jax.Array, b, *, stride: int, groups: int = 1,
           padding="SAME") -> jax.Array:
+    # No preferred_element_type here: a float32 primitive output makes the
+    # conv TRANSPOSE (backward) pair a float32 cotangent with a bfloat16
+    # filter, which lax rejects. TPU convs accumulate in float32 in hardware
+    # regardless; bias adds in float32 explicitly.
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32)
+        feature_group_count=groups)
     if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = (out.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+    return out
 
 
 def _block(cfg: ConvNeXtConfig, bp: dict, x: jax.Array) -> jax.Array:

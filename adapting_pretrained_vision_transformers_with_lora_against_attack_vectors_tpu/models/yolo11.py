@@ -96,10 +96,13 @@ def _conv(cfg, p, x, *, stride=1, groups=1, act=True):
     w = p["w"].astype(x.dtype)
     k = w.shape[0]
     pad = k // 2
+    # no preferred_element_type: a f32 primitive output breaks the conv
+    # transpose under bf16 params (cotangent/filter dtype mismatch); BN math
+    # below runs in f32 anyway
     out = jax.lax.conv_general_dilated(
         x, w, (stride, stride), ((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups, preferred_element_type=jnp.float32)
+        feature_group_count=groups).astype(jnp.float32)
     if "lora_a" in p and k == 1 and stride == 1 and groups == 1:
         # 1x1 conv == channel matmul: unmerged LoRA branch (ops/lora.py
         # factors carry the conv's (1, 1) lead axes)

@@ -282,3 +282,19 @@ def test_yolo11_lora_dropout_active():
     ev = entry.apply(cfg, lora.attach(params, ad, lcfg), x)
     assert float(jnp.abs(t1 - t2).max()) > 1e-7  # dropout draws differ
     assert float(jnp.abs(t1 - ev).max()) > 1e-7  # training form != eval form
+
+
+@pytest.mark.parametrize("name", TEST_MODELS)
+def test_bf16_params_input_grad(name):
+    """Attack-style input gradients must work with bfloat16 params on every
+    backbone (review-era bug: preferred_element_type made the conv transpose
+    pair a f32 cotangent with a bf16 filter)."""
+    entry = registry.get_model(name)
+    cfg = entry.config(3)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          entry.init(jax.random.key(0), cfg))
+    x = jax.random.uniform(jax.random.key(1), (2, cfg.image_size,
+                                               cfg.image_size, 3))
+    g = jax.grad(lambda im: entry.apply(cfg, params, im).sum())(x)
+    assert g.shape == x.shape
+    assert np.isfinite(np.asarray(g)).all()
