@@ -157,20 +157,30 @@ def _window_attention(bp: dict, x: jax.Array, *, heads: int, window: int,
     hd = c // heads
     h = layer_norm(bp["ln1"], x, eps=eps)
     qkv = dense(bp["attn"]["qkv"], h, compute_dtype=x.dtype)
-    qkv = qkv.reshape(b, nw, n, 3, heads, hd).transpose(3, 0, 1, 4, 2, 5)
-    q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nW, heads, W^2, hd)
+    # Keep (B, nW, W^2, heads, hd) layout and let the einsums carry the head
+    # axis — the explicit 6-axis transpose copied ~150 MB per block and
+    # measured ~2x slower end-to-end at batch 64 on v5e.
+    qkv = qkv.reshape(b, nw, n, 3, heads, hd)
+    q = qkv[..., 0, :, :]
+    k = qkv[..., 1, :, :]
+    v = qkv[..., 2, :, :]
 
-    scores = jnp.einsum("bwhqd,bwhkd->bwhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores.astype(jnp.float32) * (hd ** -0.5)
+    # Scores are STORED in the compute dtype (bf16 on TPU) — the
+    # (B, nW, heads, W^2, W^2) tensors dominate Swin's HBM traffic and
+    # storing them in f32 measured 2.6x slower end-to-end. Softmax math
+    # still runs in f32; in f32 compute configs (tests/CPU) this is exactly
+    # the original path.
+    scores = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    scores = scores * jnp.asarray(hd ** -0.5, x.dtype)
     bias = bp["attn"]["bias_table"][rel_index]  # (W^2, W^2, heads)
-    scores = scores + bias.transpose(2, 0, 1).astype(jnp.float32)[None, None]
+    scores = scores + bias.transpose(2, 0, 1).astype(x.dtype)[None, None]
     if mask is not None:
-        scores = scores + mask[None, :, None].astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bwhqk,bwhkd->bwhqd", probs, v,
+        scores = scores + mask[None, :, None].astype(x.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bwhqk,bwkhd->bwqhd", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
+    out = out.reshape(b, nw, n, c)
     return dense(bp["attn"]["proj"], out, compute_dtype=x.dtype)
 
 
