@@ -90,7 +90,10 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *, accum_dtype=jnp.float
     """
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=accum_dtype)
+    # scores are STORED in the input dtype (bf16 on TPU halves the dominant
+    # HBM tensor); softmax math stays float32 — identical path for f32 inputs
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=accum_dtype).astype(q.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32) * scale, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
                      preferred_element_type=accum_dtype)
