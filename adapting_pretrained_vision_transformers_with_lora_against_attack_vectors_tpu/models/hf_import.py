@@ -306,3 +306,133 @@ def load_checkpoint_state_dict(path: str) -> dict[str, np.ndarray]:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return _as_numpy(sd)
+
+
+# --- timm-format importers ----------------------------------------------------
+# The reference README sources its zoo "via TIMM" (README.md:49-57). timm is
+# not installed in this environment, so these mappings follow timm's published
+# state-dict naming; round-trip tests validate the mechanics and the HF
+# importers above remain the parity-verified path.
+
+def swin_params_from_timm(state_dict: Mapping, cfg, *, dtype=np.float32) -> dict:
+    """timm ``swin_*_patch4_window7_224`` state dict -> :mod:`models.swin`
+    pytree. timm already stores a fused qkv (rows q;k;v -> our columns after
+    the transpose, exactly this framework's layout)."""
+    import jax
+
+    sd = _as_numpy(state_dict)
+
+    def get(name):
+        if name not in sd:
+            raise KeyError(f"missing {name!r} in timm Swin state dict")
+        return sd[name].astype(dtype)
+
+    p = cfg.patch_size
+    conv_w = get("patch_embed.proj.weight")
+    d = conv_w.shape[0]
+    proj_w = conv_w.transpose(2, 3, 1, 0).reshape(p * p * 3, d)
+
+    stages = {}
+    for s, depth in enumerate(cfg.depths):
+        per_block = []
+        for j in range(depth):
+            bp = f"layers.{s}.blocks.{j}"
+            per_block.append({
+                "ln1": {"scale": get(f"{bp}.norm1.weight"),
+                        "bias": get(f"{bp}.norm1.bias")},
+                "attn": {
+                    "qkv": {"w": get(f"{bp}.attn.qkv.weight").T,
+                            "b": get(f"{bp}.attn.qkv.bias")},
+                    "proj": {"w": get(f"{bp}.attn.proj.weight").T,
+                             "b": get(f"{bp}.attn.proj.bias")},
+                    "bias_table": get(f"{bp}.attn.relative_position_bias_table"),
+                },
+                "ln2": {"scale": get(f"{bp}.norm2.weight"),
+                        "bias": get(f"{bp}.norm2.bias")},
+                "mlp": {
+                    "fc1": {"w": get(f"{bp}.mlp.fc1.weight").T,
+                            "b": get(f"{bp}.mlp.fc1.bias")},
+                    "fc2": {"w": get(f"{bp}.mlp.fc2.weight").T,
+                            "b": get(f"{bp}.mlp.fc2.bias")},
+                },
+            })
+        pairs = [jax.tree.map(lambda *xs: np.stack(xs), per_block[2 * i],
+                              per_block[2 * i + 1])
+                 for i in range(depth // 2)]
+        blocks = jax.tree.map(lambda *xs: np.stack(xs), *pairs) if len(pairs) > 1 \
+            else jax.tree.map(lambda x: x[None], pairs[0])
+        stage = {"blocks": blocks}
+        if s < len(cfg.depths) - 1:
+            stage["merge"] = {
+                "norm": {"scale": get(f"layers.{s}.downsample.norm.weight"),
+                         "bias": get(f"layers.{s}.downsample.norm.bias")},
+                "reduce": {"w": get(f"layers.{s}.downsample.reduction.weight").T},
+            }
+        stages[str(s)] = stage
+
+    head_w_key = "head.fc.weight" if "head.fc.weight" in sd else "head.weight"
+    head_b_key = head_w_key.replace("weight", "bias")
+    return {
+        "embed": {
+            "proj": {"w": proj_w, "b": get("patch_embed.proj.bias")},
+            "norm": {"scale": get("patch_embed.norm.weight"),
+                     "bias": get("patch_embed.norm.bias")},
+        },
+        "stages": stages,
+        "final_ln": {"scale": get("norm.weight"), "bias": get("norm.bias")},
+        "head": {"w": get(head_w_key).T, "b": get(head_b_key)},
+    }
+
+
+def convnext_params_from_timm(state_dict: Mapping, cfg, *,
+                              dtype=np.float32) -> dict:
+    """timm ``convnext_*`` state dict -> :mod:`models.convnext` pytree."""
+    import jax
+
+    sd = _as_numpy(state_dict)
+
+    def get(name):
+        if name not in sd:
+            raise KeyError(f"missing {name!r} in timm ConvNeXt state dict")
+        return sd[name].astype(dtype)
+
+    def conv_w(name):
+        return get(name).transpose(2, 3, 1, 0)
+
+    stages = {}
+    for s, depth in enumerate(cfg.depths):
+        per_block = []
+        for j in range(depth):
+            bp = f"stages.{s}.blocks.{j}"
+            per_block.append({
+                "dwconv": {"w": conv_w(f"{bp}.conv_dw.weight"),
+                           "b": get(f"{bp}.conv_dw.bias")},
+                "norm": {"scale": get(f"{bp}.norm.weight"),
+                         "bias": get(f"{bp}.norm.bias")},
+                "pwconv1": {"w": get(f"{bp}.mlp.fc1.weight").T,
+                            "b": get(f"{bp}.mlp.fc1.bias")},
+                "pwconv2": {"w": get(f"{bp}.mlp.fc2.weight").T,
+                            "b": get(f"{bp}.mlp.fc2.bias")},
+                "gamma": get(f"{bp}.gamma"),
+            })
+        blocks = jax.tree.map(lambda *xs: np.stack(xs), *per_block) \
+            if depth > 1 else jax.tree.map(lambda x: x[None], per_block[0])
+        stage = {"blocks": blocks}
+        if s > 0:
+            stage["downsample"] = {
+                "norm": {"scale": get(f"stages.{s}.downsample.0.weight"),
+                         "bias": get(f"stages.{s}.downsample.0.bias")},
+                "conv": {"w": conv_w(f"stages.{s}.downsample.1.weight"),
+                         "b": get(f"stages.{s}.downsample.1.bias")},
+            }
+        stages[str(s)] = stage
+
+    return {
+        "stem": {"conv": {"w": conv_w("stem.0.weight"), "b": get("stem.0.bias")},
+                 "norm": {"scale": get("stem.1.weight"),
+                          "bias": get("stem.1.bias")}},
+        "stages": stages,
+        "final_ln": {"scale": get("head.norm.weight"),
+                     "bias": get("head.norm.bias")},
+        "head": {"w": get("head.fc.weight").T, "b": get("head.fc.bias")},
+    }

@@ -298,3 +298,103 @@ def test_bf16_params_input_grad(name):
     g = jax.grad(lambda im: entry.apply(cfg, params, im).sum())(x)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def _timm_swin_sd_from_params(params, cfg):
+    """Inverse of swin_params_from_timm — builds a timm-style state dict for
+    the round-trip test."""
+    sd = {}
+    p = cfg.patch_size
+    emb = params["embed"]
+    d = cfg.embed_dim
+    sd["patch_embed.proj.weight"] = np.asarray(emb["proj"]["w"]).reshape(
+        p, p, 3, d).transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = np.asarray(emb["proj"]["b"])
+    sd["patch_embed.norm.weight"] = np.asarray(emb["norm"]["scale"])
+    sd["patch_embed.norm.bias"] = np.asarray(emb["norm"]["bias"])
+    for s, depth in enumerate(cfg.depths):
+        blocks = params["stages"][str(s)]["blocks"]
+        for j in range(depth):
+            pair, idx = divmod(j, 2)
+            bp = jax.tree.map(lambda x: np.asarray(x)[pair, idx], blocks)
+            pre = f"layers.{s}.blocks.{j}"
+            sd[f"{pre}.norm1.weight"] = bp["ln1"]["scale"]
+            sd[f"{pre}.norm1.bias"] = bp["ln1"]["bias"]
+            sd[f"{pre}.attn.qkv.weight"] = bp["attn"]["qkv"]["w"].T
+            sd[f"{pre}.attn.qkv.bias"] = bp["attn"]["qkv"]["b"]
+            sd[f"{pre}.attn.proj.weight"] = bp["attn"]["proj"]["w"].T
+            sd[f"{pre}.attn.proj.bias"] = bp["attn"]["proj"]["b"]
+            sd[f"{pre}.attn.relative_position_bias_table"] = bp["attn"]["bias_table"]
+            sd[f"{pre}.norm2.weight"] = bp["ln2"]["scale"]
+            sd[f"{pre}.norm2.bias"] = bp["ln2"]["bias"]
+            sd[f"{pre}.mlp.fc1.weight"] = bp["mlp"]["fc1"]["w"].T
+            sd[f"{pre}.mlp.fc1.bias"] = bp["mlp"]["fc1"]["b"]
+            sd[f"{pre}.mlp.fc2.weight"] = bp["mlp"]["fc2"]["w"].T
+            sd[f"{pre}.mlp.fc2.bias"] = bp["mlp"]["fc2"]["b"]
+        if s < len(cfg.depths) - 1:
+            mg = params["stages"][str(s)]["merge"]
+            sd[f"layers.{s}.downsample.norm.weight"] = np.asarray(mg["norm"]["scale"])
+            sd[f"layers.{s}.downsample.norm.bias"] = np.asarray(mg["norm"]["bias"])
+            sd[f"layers.{s}.downsample.reduction.weight"] = np.asarray(
+                mg["reduce"]["w"]).T
+    sd["norm.weight"] = np.asarray(params["final_ln"]["scale"])
+    sd["norm.bias"] = np.asarray(params["final_ln"]["bias"])
+    sd["head.fc.weight"] = np.asarray(params["head"]["w"]).T
+    sd["head.fc.bias"] = np.asarray(params["head"]["b"])
+    return sd
+
+
+def test_timm_swin_import_round_trip():
+    """timm-naming Swin importer reproduces the source params exactly (the
+    reference sources its zoo 'via TIMM', README.md:49-57; timm itself isn't
+    installed, so the mapping mechanics are validated by round trip and the
+    HF importer remains the forward-parity-verified path)."""
+    cfg = swin.SWIN_TEST
+    params = swin.init(jax.random.key(0), cfg)
+    sd = _timm_swin_sd_from_params(params, cfg)
+    loaded = hf_import.swin_params_from_timm(sd, cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), params, loaded)
+    x = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3))
+    np.testing.assert_allclose(np.asarray(swin.apply(cfg, params, x)),
+                               np.asarray(swin.apply(cfg, loaded, x)),
+                               atol=1e-6)
+
+
+def test_timm_convnext_import_round_trip():
+    cfg = convnext.CONVNEXT_TEST
+    params = convnext.init(jax.random.key(0), cfg)
+    sd = {}
+    sd["stem.0.weight"] = np.asarray(params["stem"]["conv"]["w"]).transpose(3, 2, 0, 1)
+    sd["stem.0.bias"] = np.asarray(params["stem"]["conv"]["b"])
+    sd["stem.1.weight"] = np.asarray(params["stem"]["norm"]["scale"])
+    sd["stem.1.bias"] = np.asarray(params["stem"]["norm"]["bias"])
+    for s, depth in enumerate(cfg.depths):
+        blocks = params["stages"][str(s)]["blocks"]
+        for j in range(depth):
+            bp = jax.tree.map(lambda x: np.asarray(x)[j], blocks)
+            pre = f"stages.{s}.blocks.{j}"
+            sd[f"{pre}.conv_dw.weight"] = bp["dwconv"]["w"].transpose(3, 2, 0, 1)
+            sd[f"{pre}.conv_dw.bias"] = bp["dwconv"]["b"]
+            sd[f"{pre}.norm.weight"] = bp["norm"]["scale"]
+            sd[f"{pre}.norm.bias"] = bp["norm"]["bias"]
+            sd[f"{pre}.mlp.fc1.weight"] = bp["pwconv1"]["w"].T
+            sd[f"{pre}.mlp.fc1.bias"] = bp["pwconv1"]["b"]
+            sd[f"{pre}.mlp.fc2.weight"] = bp["pwconv2"]["w"].T
+            sd[f"{pre}.mlp.fc2.bias"] = bp["pwconv2"]["b"]
+            sd[f"{pre}.gamma"] = bp["gamma"]
+        if s > 0:
+            ds = params["stages"][str(s)]["downsample"]
+            sd[f"stages.{s}.downsample.0.weight"] = np.asarray(ds["norm"]["scale"])
+            sd[f"stages.{s}.downsample.0.bias"] = np.asarray(ds["norm"]["bias"])
+            sd[f"stages.{s}.downsample.1.weight"] = np.asarray(
+                ds["conv"]["w"]).transpose(3, 2, 0, 1)
+            sd[f"stages.{s}.downsample.1.bias"] = np.asarray(ds["conv"]["b"])
+    sd["head.norm.weight"] = np.asarray(params["final_ln"]["scale"])
+    sd["head.norm.bias"] = np.asarray(params["final_ln"]["bias"])
+    sd["head.fc.weight"] = np.asarray(params["head"]["w"]).T
+    sd["head.fc.bias"] = np.asarray(params["head"]["b"])
+
+    loaded = hf_import.convnext_params_from_timm(sd, cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), params, loaded)
