@@ -436,3 +436,72 @@ def convnext_params_from_timm(state_dict: Mapping, cfg, *,
                      "bias": get("head.norm.bias")},
         "head": {"w": get("head.fc.weight").T, "b": get("head.fc.bias")},
     }
+
+
+def vit_params_from_timm(state_dict: Mapping, cfg: ViTConfig, *,
+                         dtype=np.float32,
+                         allow_missing_head: bool = False) -> dict:
+    """timm ``vit_*`` / DINO-release state dict -> :mod:`models.vit` pytree.
+    timm fuses qkv (rows q;k;v); this framework keeps separate projections,
+    so the fused tensors split on the output axis."""
+    sd = _as_numpy(state_dict)
+
+    def get(name):
+        if name not in sd:
+            raise KeyError(f"missing {name!r} in timm ViT state dict")
+        return sd[name].astype(dtype)
+
+    p = cfg.patch_size
+    conv_w = get("patch_embed.proj.weight")
+    d = conv_w.shape[0]
+    proj_w = conv_w.transpose(2, 3, 1, 0).reshape(p * p * 3, d)
+
+    per = {k: [] for k in ("ln1/scale", "ln1/bias", "attn/q/w", "attn/q/b",
+                           "attn/k/w", "attn/k/b", "attn/v/w", "attn/v/b",
+                           "attn/o/w", "attn/o/b", "ln2/scale", "ln2/bias",
+                           "mlp/fc1/w", "mlp/fc1/b", "mlp/fc2/w", "mlp/fc2/b")}
+    for i in range(cfg.depth):
+        bp = f"blocks.{i}"
+        qkv_w = get(f"{bp}.attn.qkv.weight")  # (3D, D) rows q;k;v
+        qkv_b = get(f"{bp}.attn.qkv.bias")
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        qb, kb, vb = np.split(qkv_b, 3, axis=0)
+        per["ln1/scale"].append(get(f"{bp}.norm1.weight"))
+        per["ln1/bias"].append(get(f"{bp}.norm1.bias"))
+        per["attn/q/w"].append(qw.T)
+        per["attn/q/b"].append(qb)
+        per["attn/k/w"].append(kw.T)
+        per["attn/k/b"].append(kb)
+        per["attn/v/w"].append(vw.T)
+        per["attn/v/b"].append(vb)
+        per["attn/o/w"].append(get(f"{bp}.attn.proj.weight").T)
+        per["attn/o/b"].append(get(f"{bp}.attn.proj.bias"))
+        per["ln2/scale"].append(get(f"{bp}.norm2.weight"))
+        per["ln2/bias"].append(get(f"{bp}.norm2.bias"))
+        per["mlp/fc1/w"].append(get(f"{bp}.mlp.fc1.weight").T)
+        per["mlp/fc1/b"].append(get(f"{bp}.mlp.fc1.bias"))
+        per["mlp/fc2/w"].append(get(f"{bp}.mlp.fc2.weight").T)
+        per["mlp/fc2/b"].append(get(f"{bp}.mlp.fc2.bias"))
+
+    from ..utils import trees
+
+    head_key = "head.weight" if "head.weight" in sd else None
+    if head_key:
+        head = {"w": get("head.weight").T, "b": get("head.bias")}
+    elif allow_missing_head:
+        head = {"w": np.zeros((cfg.hidden_dim, cfg.num_classes), dtype),
+                "b": np.zeros((cfg.num_classes,), dtype)}
+    else:
+        raise KeyError("missing 'head.weight' (pass allow_missing_head=True "
+                       "for backbone-only checkpoints like DINO releases)")
+    return {
+        "embed": {
+            "proj": {"w": proj_w, "b": get("patch_embed.proj.bias")},
+            "cls": get("cls_token"),
+            "pos": get("pos_embed"),
+        },
+        "blocks": trees.unflatten_from_paths({k: np.stack(v)
+                                              for k, v in per.items()}),
+        "final_ln": {"scale": get("norm.weight"), "bias": get("norm.bias")},
+        "head": head,
+    }

@@ -24,8 +24,9 @@ def load_pretrained(name: str, num_classes: int, checkpoint: Optional[str],
     """Returns ``(entry, cfg, params)``.
 
     ``checkpoint=None`` -> random init (and a zero-delta LoRA attach still
-    works). Families: vit/dinov1 -> ``vit_params_from_hf``; swin ->
-    ``swin_params_from_hf``; convnext -> ``convnext_params_from_hf``.
+    works). Families: vit/dinov1, swin, convnext — both HF-transformers and
+    timm state-dict naming are auto-detected (the reference README sources
+    its zoo "via TIMM").
     yolo11 has no importable public torch zoo in this environment — random
     init only (raise if a checkpoint is passed, rather than mis-parse)."""
     entry = get_model(name)
@@ -38,15 +39,22 @@ def load_pretrained(name: str, num_classes: int, checkpoint: Optional[str],
         raise FileNotFoundError(checkpoint)
     sd = hf_import.load_checkpoint_state_dict(checkpoint)
 
+    is_timm = "patch_embed.proj.weight" in sd or "stem.0.weight" in sd
     if entry.family == "vit":
-        prefix = "vit." if any(k.startswith("vit.") for k in sd) else ""
-        params = hf_import.vit_params_from_hf(
-            sd, cfg, prefix=prefix,
-            allow_missing_head="classifier.weight" not in sd)
+        if is_timm:
+            params = hf_import.vit_params_from_timm(
+                sd, cfg, allow_missing_head="head.weight" not in sd)
+        else:
+            prefix = "vit." if any(k.startswith("vit.") for k in sd) else ""
+            params = hf_import.vit_params_from_hf(
+                sd, cfg, prefix=prefix,
+                allow_missing_head="classifier.weight" not in sd)
     elif entry.family == "swin":
-        params = hf_import.swin_params_from_hf(sd, cfg)
+        params = (hf_import.swin_params_from_timm(sd, cfg) if is_timm
+                  else hf_import.swin_params_from_hf(sd, cfg))
     elif entry.family == "convnext":
-        params = hf_import.convnext_params_from_hf(sd, cfg)
+        params = (hf_import.convnext_params_from_timm(sd, cfg) if is_timm
+                  else hf_import.convnext_params_from_hf(sd, cfg))
     else:
         raise ValueError(f"no weight importer for family {entry.family!r} "
                          f"(model {name!r}); omit checkpoint for random init")

@@ -398,3 +398,57 @@ def test_timm_convnext_import_round_trip():
     loaded = hf_import.convnext_params_from_timm(sd, cfg)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=1e-6), params, loaded)
+
+
+def test_timm_vit_import_round_trip(tmp_path):
+    """timm ViT naming (fused qkv) -> our pytree, incl. facade auto-detect."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import pretrained, vit
+
+    cfg = vit.VIT_TEST.with_classes(5)
+    params = vit.init(jax.random.key(0), cfg)
+    # build a timm-style state dict from our params
+    import jax as _jax
+
+    sd = {}
+    p = cfg.patch_size
+    sd["patch_embed.proj.weight"] = np.asarray(params["embed"]["proj"]["w"]).reshape(
+        p, p, 3, cfg.hidden_dim).transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = np.asarray(params["embed"]["proj"]["b"])
+    sd["cls_token"] = np.asarray(params["embed"]["cls"])
+    sd["pos_embed"] = np.asarray(params["embed"]["pos"])
+    for i in range(cfg.depth):
+        bp = _jax.tree.map(lambda x: np.asarray(x)[i], params["blocks"])
+        pre = f"blocks.{i}"
+        sd[f"{pre}.norm1.weight"] = bp["ln1"]["scale"]
+        sd[f"{pre}.norm1.bias"] = bp["ln1"]["bias"]
+        sd[f"{pre}.attn.qkv.weight"] = np.concatenate(
+            [bp["attn"]["q"]["w"].T, bp["attn"]["k"]["w"].T,
+             bp["attn"]["v"]["w"].T], axis=0)
+        sd[f"{pre}.attn.qkv.bias"] = np.concatenate(
+            [bp["attn"]["q"]["b"], bp["attn"]["k"]["b"], bp["attn"]["v"]["b"]])
+        sd[f"{pre}.attn.proj.weight"] = bp["attn"]["o"]["w"].T
+        sd[f"{pre}.attn.proj.bias"] = bp["attn"]["o"]["b"]
+        sd[f"{pre}.norm2.weight"] = bp["ln2"]["scale"]
+        sd[f"{pre}.norm2.bias"] = bp["ln2"]["bias"]
+        sd[f"{pre}.mlp.fc1.weight"] = bp["mlp"]["fc1"]["w"].T
+        sd[f"{pre}.mlp.fc1.bias"] = bp["mlp"]["fc1"]["b"]
+        sd[f"{pre}.mlp.fc2.weight"] = bp["mlp"]["fc2"]["w"].T
+        sd[f"{pre}.mlp.fc2.bias"] = bp["mlp"]["fc2"]["b"]
+    sd["norm.weight"] = np.asarray(params["final_ln"]["scale"])
+    sd["norm.bias"] = np.asarray(params["final_ln"]["bias"])
+    sd["head.weight"] = np.asarray(params["head"]["w"]).T
+    sd["head.bias"] = np.asarray(params["head"]["b"])
+
+    loaded = hf_import.vit_params_from_timm(sd, cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), params, loaded)
+
+    # facade auto-detects timm naming from a torch .pth
+    torch_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    path = str(tmp_path / "timm_vit.pth")
+    torch.save(torch_sd, path)
+    entry, cfg2, loaded2 = pretrained.load_pretrained("vit_test", 5, path)
+    out1 = entry.apply(cfg2, loaded2, jnp.zeros((1, 32, 32, 3)))
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit as vit_mod
+    out2 = vit_mod.apply(cfg, params, jnp.zeros((1, 32, 32, 3)))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
