@@ -136,11 +136,13 @@ def fit(
                 count += m["count"]
 
         n = float(jax.device_get(count)) if count is not None else 0.0
+        seconds = time.time() - t0
         rec = {
             "epoch": epoch,
             "train_loss": float(jax.device_get(loss_sum)) / max(n, 1.0) if n else 0.0,
             "train_accuracy": float(jax.device_get(correct)) / max(n, 1.0) if n else 0.0,
-            "seconds": time.time() - t0,
+            "seconds": seconds,
+            "images_per_second": n / seconds if seconds > 0 else 0.0,
         }
         if val_loader is not None:
             val = evaluate(eval_step, state.params, val_loader, mesh=mesh)
