@@ -146,3 +146,31 @@ def test_cli_train_lora_without_val_split(cli_root, capsys):
                            "results.json")) as f:
         res = json.load(f)
     assert res["rank2"]["best_val_accuracy"] is None
+
+
+def test_cli_process(tmp_path):
+    """The `process` subcommand drives the raw-corpus ETL end to end
+    (LISA fixture -> unified crops + metadata)."""
+    import numpy as np
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data import process as P
+
+    base = tmp_path / "raw" / "lisa-road-sign"
+    (base / "train" / "images").mkdir(parents=True)
+    (base / "train" / "labels").mkdir(parents=True)
+    img = np.zeros((200, 200, 3), np.uint8)
+    img[:] = (30, 90, 180)
+    P.imwrite(str(base / "train" / "images" / "a.png"), img)
+    (base / "train" / "labels" / "a.txt").write_text("35 0.5 0.5 0.5 0.5\n")
+
+    out = str(tmp_path / "processed")
+    run(["process", "--base_dir", str(tmp_path / "raw"), "--output_dir", out,
+         "--datasets", "lisa-road-sign", "--splits", "train"])
+    meta = os.path.join(out, "train", "metadata.csv")
+    assert os.path.exists(meta)
+    import csv
+
+    with open(meta) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and rows[0]["unified_class"] == "stop"
+    assert os.path.exists(rows[0]["image_path"])
