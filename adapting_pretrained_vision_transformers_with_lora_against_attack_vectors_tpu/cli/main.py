@@ -443,6 +443,7 @@ def cmd_train_lora(args):
         with open(results_path, "w") as f:
             json.dump(all_results[attack], f, indent=2, default=str)
 
+    os.makedirs(args.output_dir, exist_ok=True)
     global_path = os.path.join(args.output_dir, "global_results.json")
     with open(global_path, "w") as f:
         json.dump(all_results, f, indent=2, default=str)
