@@ -17,8 +17,8 @@ torchattacks loop is EAGER FLOAT32 — no autocast, no torch.compile
 (whitebox_attacks.py) — so an A100 sustains TF32 matmuls (156 TFLOPs peak) at
 an optimistic ~35-40% end-to-end MFU for eager per-op dispatch: ~55-60
 TFLOPs -> ~55 imgs/s. (A hypothetical bf16-autocast + compiled version of
-the reference would reach ~110; this implementation measured ~78 imgs/s on
-one v5e chip = ~42% MFU of its 197-TFLOP bf16 peak, with linear data-mesh
+the reference would reach ~110; this implementation measures ~83 imgs/s on
+one v5e chip = ~45% MFU of its 197-TFLOP bf16 peak, with linear data-mesh
 scaling across chips that the single-device reference cannot do at all.)
 Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS env vars.
 """
@@ -47,8 +47,8 @@ def main() -> None:
 
     import dataclasses
 
-    # Pallas whole-head attention (kernels/attention.py, 4 heads per grid
-    # program): measured +4% end-to-end over XLA's fusion on v5e.
+    # Pallas whole-head attention (kernels/attention.py, 12 heads per grid
+    # program): measured +6% end-to-end over XLA's fusion on v5e.
     cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
                               use_fused_attention=True)
     lcfg = lora.LoRAConfig(rank=8, alpha=16.0, targets=vit.LORA_TARGETS_DEFAULT)
