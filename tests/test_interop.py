@@ -112,6 +112,68 @@ def test_peft_library_reads_our_adapters(hf_model, tmp_path):
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
 
 
+def _torch_loss(hf_model, x01, labels):
+    """Summed CE on ImageNet-normalized input — the semantics our attacks
+    differentiate (attacks/common.py docstring; reference whitebox_attacks.py
+    NormalizedModel wrapper)."""
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    logits = hf_model((x01 - mean) / std).logits
+    return torch.nn.functional.cross_entropy(logits, labels, reduction="sum")
+
+
+def test_fgsm_golden_vs_torch(hf_model):
+    """Cross-framework golden: adversarial IMAGES (not just invariants) from a
+    hand-rolled torch FGSM (reference whitebox_attacks.py:22-38 semantics)
+    must match attacks.whitebox.fgsm to float32 noise."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
+
+    eps = 8 / 255
+    rng = np.random.default_rng(10)
+    images = rng.random((4, 32, 32, 3), np.float32)
+    labels = rng.integers(0, 5, (4,))
+
+    xt = torch.from_numpy(images.transpose(0, 3, 1, 2)).requires_grad_(True)
+    loss = _torch_loss(hf_model, xt, torch.from_numpy(labels))
+    loss.backward()
+    ref = (xt.detach() + eps * xt.grad.sign()).clamp(0, 1).numpy().transpose(0, 2, 3, 1)
+
+    params = hf_import.vit_params_from_hf(hf_model.state_dict(), OUR_CFG)
+    run = whitebox.make_fgsm(vit.apply, OUR_CFG, eps=eps)
+    ours = np.asarray(run(params, jnp.asarray(images), jnp.asarray(labels)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pgd_golden_vs_torch(hf_model):
+    """3-step PGD, fixed start (no randomness): torch loop vs the lax.scan
+    program, adversarial images equal to <=1e-5 before quantization
+    (torchattacks.PGD / reference whitebox_attacks.py:108-113 semantics)."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
+
+    eps, alpha, steps = 8 / 255, 3 / 255, 3
+    rng = np.random.default_rng(11)
+    images = rng.random((4, 32, 32, 3), np.float32)
+    labels = rng.integers(0, 5, (4,))
+    lt = torch.from_numpy(labels)
+
+    x0 = torch.from_numpy(images.transpose(0, 3, 1, 2))
+    x = x0.clone()
+    for _ in range(steps):
+        x = x.detach().requires_grad_(True)
+        loss = _torch_loss(hf_model, x, lt)
+        loss.backward()
+        x = x.detach() + alpha * x.grad.sign()
+        x = torch.min(torch.max(x, (x0 - eps).clamp_min(0)), (x0 + eps).clamp_max(1))
+    ref = x.numpy().transpose(0, 2, 3, 1)
+
+    params = hf_import.vit_params_from_hf(hf_model.state_dict(), OUR_CFG)
+    run = whitebox.make_pgd(vit.apply, OUR_CFG, eps=eps, alpha=alpha,
+                            steps=steps, random_start=False)
+    ours = np.asarray(run(params, jnp.asarray(images), jnp.asarray(labels),
+                          jax.random.key(0)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_peft_suffix_targets_expansion():
     paths = peft_io.peft_targets_to_paths(["query", "key", "value", "output.dense"])
     assert paths == ("blocks/attn/q", "blocks/attn/k", "blocks/attn/v",
