@@ -21,12 +21,39 @@ checkpoints ``w_j`` (fractions p_0=0, p_1=0.22,
 p_{j+1} = p_j + max(p_j - p_{j-1} - 0.03, 0.06)) halve η and restart from
 the best point if (1) fewer than ρ=0.75 of the steps since the last
 checkpoint improved the loss or (2) η and the best loss both stalled.
+
+Deliberate divergences from the upstream ``autoattack`` library (each is a
+documented choice, tested in tests/test_autoattack.py):
+
+========================  =================================  ==================
+aspect                    upstream (autopgd_base.py)         here
+========================  =================================  ==================
+random start (Linf)       ``x + eps·t/max|t|`` — scaled so   ``x + eps·U(-1,1)``
+                          the largest coord touches ±eps,    clipped to
+                          then [0,1]-clipped                 ball ∩ [0,1]:
+                                                             uniform IN the
+                                                             ball (one fewer
+                                                             reduction; both
+                                                             are valid "random
+                                                             start" per paper)
+checkpoint stall test     ``cp_f_best == f_best``            ``cp_f_best >=
+(condition 2)                                                f_best`` (equal up
+                                                             to float noise;
+                                                             >= is monotone-
+                                                             safe since f_best
+                                                             never decreases)
+batch shrinking           re-batches to still-robust         full static-shape
+                          examples between restarts          batch, vectorized
+                          (dynamic shapes)                   first-success
+                                                             merge (XLA-
+                                                             friendly; same
+                                                             robust accuracy)
+========================  =================================  ==================
 """
 
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Callable, Optional
 
@@ -48,17 +75,29 @@ class APGDConfig:
 
 
 def checkpoint_iters(n_iter: int) -> list[int]:
-    """Static checkpoint schedule w_j (paper §3.1)."""
-    p = [0.0, 0.22]
-    while p[-1] < 1.0:
-        p.append(p[-1] + max(p[-1] - p[-2] - 0.03, 0.06))
-    ws = [int(math.ceil(x * n_iter)) for x in p if x <= 1.0]
+    """Static checkpoint schedule w_j (paper §3.1), accumulated in INTEGER
+    space exactly like upstream autopgd_base.py (float accumulation of the
+    paper's fractions drifts by one iteration, e.g. 58 vs 57 at n_iter=100):
+    w_0=0, w_1=int(0.22n), w_{j+1} = w_j + max(w_j - w_{j-1} - int(0.03n),
+    int(0.06n))."""
+    size_decr = max(int(0.03 * n_iter), 1)
+    min_gap = max(int(0.06 * n_iter), 1)
+    ws = [0, max(int(0.22 * n_iter), 1)]
+    while ws[-1] < n_iter:
+        ws.append(ws[-1] + max(ws[-1] - ws[-2] - size_decr, min_gap))
     # unique, strictly increasing, within budget
     out = []
     for w in ws:
         if w > (out[-1] if out else -1) and w < n_iter:
             out.append(w)
     return out
+
+
+def random_start(rng: jax.Array, images: jax.Array, eps: float) -> jax.Array:
+    """Uniform-in-ball random start (documented divergence: upstream scales
+    noise so its largest coordinate touches ±eps; see module docstring)."""
+    noise = jax.random.uniform(rng, images.shape, images.dtype, -1.0, 1.0)
+    return linf_project(images + eps * noise, images, eps)
 
 
 def ce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -138,9 +177,8 @@ def make_apgd(
         tgt = targets if targets is not None else labels
         expand = (slice(None),) + (None,) * (images.ndim - 1)
 
-        # random start in the eps-ball (AutoAttack APGD starts from x + noise)
-        noise = jax.random.uniform(rng, images.shape, images.dtype, -1.0, 1.0)
-        x = linf_project(images + cfg.eps * noise, images, cfg.eps)
+        # random start in the eps-ball (see module docstring divergence table)
+        x = random_start(rng, images, cfg.eps)
 
         f0, g0 = loss_and_grad(x, params, labels, tgt)
         eta0 = jnp.full((b,), 2.0 * cfg.eps)

@@ -19,6 +19,30 @@ in closed form per example: the maximal attainable ``w·d`` with
 ``phi(t) = sum_i |w_i| * min(t, c_i)`` (``c_i`` = distance from ``x_i`` to
 the box wall in the helpful direction), so the optimal ``t*`` is found by a
 sort + cumulative sum over the breakpoints ``c_i`` — no iterative solver.
+
+Deliberate divergences from the upstream ``autoattack`` library (documented
+choices, tested in tests/test_autoattack.py):
+
+========================  =================================  ==================
+aspect                    upstream (fab_pt.py)               here
+========================  =================================  ==================
+Linf projection solver    Lagrangian bisection-style solve   closed-form sort +
+                          over per-coordinate clamps         cumsum over box
+                                                             breakpoints (same
+                                                             optimum, no inner
+                                                             loop — one sorted
+                                                             scan per step)
+per-target budget         AutoAttack standard runs FAB-T     same: ``n_iter``
+                          with n_restarts=1, n_iter per      per target, start
+                          target, starting at x0             at x0, every
+                                                             target gets the
+                                                             full budget (no
+                                                             early batch exit)
+success accounting        counts hits with distortion        same rule; the
+                          <= eps only                        final where() also
+                                                             restores original
+                                                             pixels for misses
+========================  =================================  ==================
 """
 
 from __future__ import annotations

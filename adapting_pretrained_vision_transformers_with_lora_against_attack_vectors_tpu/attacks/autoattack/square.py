@@ -12,6 +12,37 @@ Algorithm: start from vertical-stripe initialization
 from the paper's ``p``-schedule) at a random position and proposes a new
 constant ``±eps`` perturbation on that window per channel; accept when the
 margin loss decreases. Examples already adversarial stop updating.
+
+Deliberate divergences from the upstream ``autoattack`` library (documented
+choices, tested in tests/test_autoattack.py):
+
+========================  =================================  ==================
+aspect                    upstream (square.py)               here
+========================  =================================  ==================
+p-schedule granularity    ``int(it/n*10000)`` breakpoints    identical formula
+                          at 10/50/200/.../8000              (p_schedule());
+                                                             square sides are
+                                                             precomputed as a
+                                                             static per-query
+                                                             array so the scan
+                                                             has fixed shapes
+proposal dtype/space      candidate = x_window replaced by   same: window reset
+                          ``clip(x0 + delta)``, delta        to x0 ± eps then
+                          sampled per channel                ball∩box projected
+accept rule               margin decreased AND example       same predicate,
+                          still classified correctly         vectorized where()
+                          (idx_to_fool re-batching)          instead of
+                                                             re-batching (no
+                                                             dynamic shapes)
+tie-break CE loss         tracks CE alongside margin for     margin only: the
+                          equal-margin acceptance            CE tie-break only
+                                                             reorders equal-
+                                                             margin proposals;
+                                                             omitting it leaves
+                                                             accept/reject and
+                                                             success counting
+                                                             unchanged
+========================  =================================  ==================
 """
 
 from __future__ import annotations

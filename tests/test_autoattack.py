@@ -62,6 +62,38 @@ def test_checkpoint_schedule():
     assert all(0 <= w < 100 for w in ws)
 
 
+def test_checkpoint_schedule_matches_upstream_at_100():
+    """Pin the n_iter=100 schedule to the exact upstream/paper values
+    (p_0=0, p_1=0.22, p_{j+1}=p_j+max(p_j-p_{j-1}-0.03, 0.06), ceil*n)."""
+    assert apgd.checkpoint_iters(100) == [0, 22, 41, 57, 70, 80, 87, 93, 99]
+
+
+def test_apgd_random_start_is_uniform_in_ball():
+    """The documented divergence (module docstring table): start is uniform
+    INSIDE the ball, not upstream's max-coordinate-on-the-sphere scaling."""
+    eps = 8 / 255
+    x = jnp.full((4, 8, 8, 3), 0.5)
+    s = apgd.random_start(jax.random.key(0), x, eps)
+    d = np.asarray(s - x)
+    assert np.abs(d).max() <= eps + 1e-7
+    assert np.abs(d).max() > 0  # actually moved
+    # uniform-in-ball: per-example max|noise| < eps almost surely (upstream's
+    # scaling would put it exactly at eps)
+    per_ex = np.abs(d).reshape(4, -1).max(axis=1)
+    assert (per_ex < eps - 1e-9).all()
+
+
+def test_square_p_schedule_matches_upstream_breakpoints():
+    """p-schedule halvings at the upstream query fractions (square.py table)."""
+    n, p0 = 10000, 0.8
+    expected = [(0, p0), (10, p0), (11, p0 / 2), (50, p0 / 2), (51, p0 / 4),
+                (200, p0 / 4), (500, p0 / 8), (1000, p0 / 16), (2000, p0 / 32),
+                (4000, p0 / 64), (6000, p0 / 128), (8000, p0 / 256),
+                (9999, p0 / 512)]
+    for it, want in expected:
+        assert square.p_schedule(it, n, p0) == want, it
+
+
 def test_dlr_losses():
     logits = jnp.asarray([[3.0, 1.0, 0.5, 0.2], [0.0, 2.0, 1.0, -1.0]])
     labels = jnp.asarray([0, 1])
