@@ -34,6 +34,10 @@ class ConvNeXtConfig:
     layer_scale_init: float = 1e-6
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Python-unroll the per-stage block loop instead of lax.scan (the scan
+    # backward's residual dynamic-update-slice traffic — models/vit.py
+    # round-2 trace). O(depth) compile time; on for flagship bench paths.
+    unroll_layers: bool = False
 
     def with_classes(self, num_classes: int) -> "ConvNeXtConfig":
         return dataclasses.replace(self, num_classes=num_classes)
@@ -122,9 +126,14 @@ def features(cfg: ConvNeXtConfig, params: dict, images: jax.Array) -> jax.Array:
             x = layer_norm(ds["norm"], x, eps=cfg.layer_norm_eps)
             x = _conv(x, ds["conv"]["w"], ds["conv"]["b"], stride=2,
                       padding="VALID")
-        def body(h, bp):
-            return _block(cfg, bp, h), None
-        x, _ = jax.lax.scan(body, x, params["stages"][str(s)]["blocks"])
+        blocks = params["stages"][str(s)]["blocks"]
+        if cfg.unroll_layers:
+            for i in range(cfg.depths[s]):
+                x = _block(cfg, jax.tree.map(lambda v: v[i], blocks), x)
+        else:
+            def body(h, bp):
+                return _block(cfg, bp, h), None
+            x, _ = jax.lax.scan(body, x, blocks)
     return x
 
 

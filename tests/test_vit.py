@@ -63,6 +63,30 @@ def test_remat_matches(setup):
     )
 
 
+def test_unrolled_matches_scan(setup):
+    """unroll_layers (the flagship bench path — no scan residual DUS) must be
+    numerically identical to the scan encoder, forward and input-gradient."""
+    cfg, params, x = setup
+    import dataclasses
+
+    cfg_u = dataclasses.replace(cfg, unroll_layers=True)
+    np.testing.assert_allclose(np.asarray(vit.apply(cfg, params, x)),
+                               np.asarray(vit.apply(cfg_u, params, x)),
+                               atol=1e-5)
+
+    def loss(c, imgs):
+        return -jax.nn.log_softmax(vit.apply(c, params, imgs))[:, 0].mean()
+
+    g_s = jax.grad(loss, argnums=1)(cfg, x)
+    g_u = jax.grad(loss, argnums=1)(cfg_u, x)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_u), atol=1e-5)
+
+    cfg_ur = dataclasses.replace(cfg_u, remat=True)
+    np.testing.assert_allclose(np.asarray(vit.apply(cfg, params, x)),
+                               np.asarray(vit.apply(cfg_ur, params, x)),
+                               atol=1e-5)
+
+
 def test_patchify_layout():
     """Patch pixels must be row-major with channel last — the contract the
     pretrained-weight importer relies on."""
