@@ -12,6 +12,14 @@ Replaces the reference's ``TrafficSignDataset`` + torch ``DataLoader``
   XLA), and prefetches ahead of the consumer so device compute overlaps
   host decode. Images cross to the device as uint8; conversion to [0,1]
   floats and normalization happen on device.
+
+Resize/crop backend: with ``decode_backend='auto'`` (default) the
+resize+center-crop after PIL's PNG/JPEG decode runs in the native C++
+library (``utils.native.resize_center_crop`` — the role OpenCV's C++ plays
+under the reference's Python), falling back to PIL when the library is
+unavailable. The native resampler matches PIL to <=2 uint8 LSB
+(tests/test_native_kernels.py); pass ``decode_backend='pil'`` for bit-exact
+torchvision-eval-pipeline parity runs.
 """
 
 from __future__ import annotations
@@ -83,7 +91,8 @@ class Loader:
                  image_size: int = 224, resize: int = 256,
                  shuffle: bool = False, seed: int = 0,
                  drop_remainder: bool = False, pad_final: bool = True,
-                 num_workers: int = 8, prefetch: int = 2):
+                 num_workers: int = 8, prefetch: int = 2,
+                 decode_backend: str = "auto"):
         self.index = index
         self.batch_size = batch_size
         self.image_size = image_size
@@ -95,6 +104,17 @@ class Loader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._epoch = 0
+        if decode_backend not in ("auto", "native", "pil"):
+            raise ValueError(f"decode_backend {decode_backend!r}")
+        if decode_backend == "pil":
+            self._native = None
+        else:
+            from ..utils import native as _native
+
+            if decode_backend == "native" and not _native.available():
+                raise RuntimeError("decode_backend='native' but the C++ "
+                                   "library is unavailable")
+            self._native = _native if _native.available() else None
 
     def __len__(self) -> int:
         n, b = len(self.index), self.batch_size
@@ -102,6 +122,10 @@ class Loader:
 
     def _decode(self, i: int) -> np.ndarray:
         with Image.open(self.index.paths[i]) as img:
+            if self._native is not None:
+                arr = np.asarray(img.convert("RGB"), np.uint8)
+                return self._native.resize_center_crop(
+                    arr, self.resize, self.image_size)
             return eval_transform_pil(img, resize=self.resize, crop=self.image_size)
 
     def _order(self) -> np.ndarray:

@@ -67,20 +67,30 @@ ResampleWeights precompute(int in_size, int out_size) {
   return rw;
 }
 
-// Separable two-pass resize (h, w, 3) u8 -> (out_h, out_w, 3) u8.
-void resize_bilinear_aa(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
-                        int out_h, int out_w) {
+// Separable two-pass resample of only the WINDOW [oy0, oy0+wh) x
+// [ox0, ox0+ww) of the virtual (out_h, out_w) resize of src. Fusing the
+// downstream center-crop into the resample this way skips the ~25-40% of
+// output pixels (and their input rows) the crop would discard — the edge
+// the native path holds over PIL's full-frame resample on the loader host.
+// dst is (wh, ww, 3) u8.
+void resize_bilinear_aa_window(const uint8_t* src, int in_h, int in_w,
+                               uint8_t* dst, int out_h, int out_w, int oy0,
+                               int ox0, int wh, int ww) {
   const ResampleWeights wx = precompute(in_w, out_w);
   const ResampleWeights wy = precompute(in_h, out_h);
 
-  // horizontal pass: (in_h, in_w) -> (in_h, out_w), float intermediate
-  std::vector<float> tmp(static_cast<size_t>(in_h) * out_w * 3);
-  for (int y = 0; y < in_h; ++y) {
+  // input rows feeding the window's vertical supports
+  int ymin = wy.bounds[oy0];
+  int ymax = std::min(wy.bounds[oy0 + wh - 1] + wy.ksize, in_h);
+
+  // horizontal pass: rows [ymin, ymax) x window columns, float intermediate
+  std::vector<float> tmp(static_cast<size_t>(ymax - ymin) * ww * 3);
+  for (int y = ymin; y < ymax; ++y) {
     const uint8_t* row = src + static_cast<size_t>(y) * in_w * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
-    for (int ox = 0; ox < out_w; ++ox) {
-      const int x0 = wx.bounds[ox];
-      const float* w = &wx.weights[static_cast<size_t>(ox) * wx.ksize];
+    float* trow = tmp.data() + static_cast<size_t>(y - ymin) * ww * 3;
+    for (int ox = 0; ox < ww; ++ox) {
+      const int x0 = wx.bounds[ox0 + ox];
+      const float* w = &wx.weights[static_cast<size_t>(ox0 + ox) * wx.ksize];
       float acc0 = 0, acc1 = 0, acc2 = 0;
       for (int k = 0; k < wx.ksize; ++k) {
         const float wk = w[k];
@@ -96,18 +106,18 @@ void resize_bilinear_aa(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
     }
   }
 
-  // vertical pass: (in_h, out_w) -> (out_h, out_w), round once
-  for (int oy = 0; oy < out_h; ++oy) {
-    const int y0 = wy.bounds[oy];
-    const float* w = &wy.weights[static_cast<size_t>(oy) * wy.ksize];
-    uint8_t* drow = dst + static_cast<size_t>(oy) * out_w * 3;
-    for (int ox = 0; ox < out_w; ++ox) {
+  // vertical pass: window rows, round once
+  for (int oy = 0; oy < wh; ++oy) {
+    const int y0 = wy.bounds[oy0 + oy] - ymin;
+    const float* w = &wy.weights[static_cast<size_t>(oy0 + oy) * wy.ksize];
+    uint8_t* drow = dst + static_cast<size_t>(oy) * ww * 3;
+    for (int ox = 0; ox < ww; ++ox) {
       float acc0 = 0, acc1 = 0, acc2 = 0;
       for (int k = 0; k < wy.ksize; ++k) {
         const float wk = w[k];
         if (wk == 0.0f) continue;
         const float* p =
-            tmp.data() + ((static_cast<size_t>(y0) + k) * out_w + ox) * 3;
+            tmp.data() + ((static_cast<size_t>(y0) + k) * ww + ox) * 3;
         acc0 += wk * p[0];
         acc1 += wk * p[1];
         acc2 += wk * p[2];
@@ -120,6 +130,13 @@ void resize_bilinear_aa(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
           static_cast<uint8_t>(std::clamp(std::lround(acc2), 0L, 255L));
     }
   }
+}
+
+// Full-frame resize (h, w, 3) u8 -> (out_h, out_w, 3) u8.
+void resize_bilinear_aa(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
+                        int out_h, int out_w) {
+  resize_bilinear_aa_window(src, in_h, in_w, dst, out_h, out_w, 0, 0, out_h,
+                            out_w);
 }
 
 void run_parallel(int n, int max_threads, const std::function<void(int)>& fn) {
@@ -164,17 +181,41 @@ void apvt_resize_center_crop(const uint8_t* src, int h, int w, int resize,
     new_w = std::max(1, static_cast<int>(std::nearbyint(
                             static_cast<double>(w) * resize / h)));
   }
-  std::vector<uint8_t> tmp(static_cast<size_t>(new_h) * new_w * 3);
-  resize_bilinear_aa(src, h, w, tmp.data(), new_h, new_w);
-
-  const int left = static_cast<int>(std::nearbyint((new_w - crop) / 2.0));
+  const int left = std::clamp(
+      static_cast<int>(std::nearbyint((new_w - crop) / 2.0)), 0,
+      std::max(new_w - crop, 0));
   const int top = static_cast<int>(std::nearbyint((new_h - crop) / 2.0));
+  // unique (unclamped) output-row range; rows outside [0, new_h) replicate
+  // the nearest edge row, matching the pre-fusion crop semantics
+  const int ry0 = std::clamp(top, 0, new_h - 1);
+  const int ry1 = std::clamp(top + crop - 1, 0, new_h - 1);
+  const int ww = std::min(crop, new_w);
+
+  if (new_w == w && new_h == h) {
+    // identity resize (image already at target geometry): crop directly
+    for (int y = 0; y < crop; ++y) {
+      const int sy = std::clamp(top + y, 0, new_h - 1);
+      std::memcpy(dst + static_cast<size_t>(y) * crop * 3,
+                  src + (static_cast<size_t>(sy) * new_w + left) * 3,
+                  static_cast<size_t>(ww) * 3);
+    }
+    return;
+  }
+
+  // crop fused into the resample: only the surviving window is computed
+  if (ry1 - ry0 + 1 == crop && ww == crop) {  // common case: no edge clamping
+    resize_bilinear_aa_window(src, h, w, dst, new_h, new_w, ry0, left, crop,
+                              crop);
+    return;
+  }
+  std::vector<uint8_t> win(static_cast<size_t>(ry1 - ry0 + 1) * ww * 3);
+  resize_bilinear_aa_window(src, h, w, win.data(), new_h, new_w, ry0, left,
+                            ry1 - ry0 + 1, ww);
   for (int y = 0; y < crop; ++y) {
-    const int sy = std::clamp(top + y, 0, new_h - 1);
-    const int sx0 = std::clamp(left, 0, std::max(new_w - crop, 0));
+    const int sy = std::clamp(top + y, 0, new_h - 1) - ry0;
     std::memcpy(dst + static_cast<size_t>(y) * crop * 3,
-                tmp.data() + (static_cast<size_t>(sy) * new_w + sx0) * 3,
-                static_cast<size_t>(crop) * 3);
+                win.data() + static_cast<size_t>(sy) * ww * 3,
+                static_cast<size_t>(ww) * 3);
   }
 }
 

@@ -62,7 +62,70 @@ def test_loader_shuffle_deterministic(dataset):
     assert b1b.filenames != b1.filenames
 
 
-def test_save_images_roundtrip(tmp_path):
+def test_loader_native_backend_matches_pil(dataset):
+    """decode_backend='native' routes resize/crop through the C++ library and
+    must agree with the PIL path to <=2 uint8 LSB per pixel."""
+    from apvt_lora.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root, _ = dataset
+    meta_path = os.path.join(root, "train", "metadata.csv")
+    vocab = LabelVocabulary.from_metadata_frames([read_metadata(meta_path)])
+    index = MetadataIndex(meta_path, vocab, root_dir=os.path.join(root, "train"))
+    b_nat = next(iter(Loader(index, batch_size=20, image_size=28, resize=32,
+                             decode_backend="native")))
+    b_pil = next(iter(Loader(index, batch_size=20, image_size=28, resize=32,
+                             decode_backend="pil")))
+    diff = np.abs(b_nat.images.astype(int) - b_pil.images.astype(int))
+    assert diff.max() <= 2
+
+
+def test_loader_throughput_feeds_device(tmp_path):
+    """Host decode path must outpace the device's PGD appetite (~117 imgs/s
+    per chip at batch 64, BENCH) with real PNG decode + 224px resize/crop."""
+    import time
+
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    n = 128
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    yy, xx = np.mgrid[0:256, 0:320]
+    for i in range(n):
+        # structured scene (gradient + blocks + mild noise): decodes like a
+        # real photo, not like an incompressible noise PNG
+        arr = np.stack([(yy + i) % 256, (xx * 2) % 256,
+                        ((yy + xx) // 2) % 256], -1).astype(np.uint8)
+        arr[64:160, 96:224] = rng.integers(0, 255, 3, dtype=np.uint8)
+        arr = np.clip(arr + rng.integers(0, 8, arr.shape, dtype=np.uint8), 0, 255)
+        name = f"img_{i}.png"
+        Image.fromarray(arr).save(img_dir / name)
+        rows.append({"image_path": f"imgs/{name}", "source": "synth",
+                     "original_class": "a", "unified_class": "a"})
+    meta = tmp_path / "metadata.csv"
+    pd.DataFrame(rows).to_csv(meta, index=False)
+
+    if os.getloadavg()[0] > 1.5:
+        pytest.skip("host CPU busy (1-core machine) — throughput floor "
+                    "would measure the contention, not the loader")
+    vocab = LabelVocabulary(["a"])
+    index = MetadataIndex(str(meta), vocab, root_dir=str(tmp_path))
+    loader = Loader(index, batch_size=64, image_size=224, resize=256)
+    next(iter(loader))  # warm the thread pool / page cache
+    ips = 0.0
+    for _ in range(3):  # best-of-3: absorbs transient scheduler noise
+        t0 = time.perf_counter()
+        total = sum(int(b.valid.sum()) for b in loader)
+        ips = max(ips, total / (time.perf_counter() - t0))
+        assert total == n
+        if ips > 150:
+            break
+    # device appetite is ~117 imgs/s/chip (bench.py); this single-core host
+    # measures ~190 imgs/s on photo-like PNGs — assert a stable 1.28x margin
+    assert ips > 150, f"host decode path too slow: {ips:.0f} imgs/s"
     imgs = np.random.default_rng(0).random((3, 16, 16, 3)).astype(np.float32)
     names = [f"x_{i}.png" for i in range(3)]
     save_images(imgs, names, str(tmp_path))
