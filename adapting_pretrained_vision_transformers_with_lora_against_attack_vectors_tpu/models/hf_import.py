@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from typing import Mapping
 
+import jax
 import numpy as np
 
 from .vit import ViTConfig
@@ -505,3 +506,153 @@ def vit_params_from_timm(state_dict: Mapping, cfg: ViTConfig, *,
         "final_ln": {"scale": get("norm.weight"), "bias": get("norm.bias")},
         "head": head,
     }
+
+
+# --- ultralytics-format importer (YOLO11-cls) ----------------------------------
+
+# ultralytics yolo11-cls.yaml layer index -> models.yolo11 pytree key.
+_YOLO11_LAYER_KEYS = (
+    ("0", "stem0"), ("1", "stem1"), ("2", "c3k2_0"), ("3", "down0"),
+    ("4", "c3k2_1"), ("5", "down1"), ("6", "c3k2_2"), ("7", "down2"),
+    ("8", "c3k2_3"), ("9", "c2psa"), ("10", "head"),
+)
+
+
+def yolo11_params_from_ultralytics(state_dict: Mapping, cfg, *,
+                                   dtype=np.float32,
+                                   allow_missing_head: bool = False) -> dict:
+    """ultralytics YOLO11-cls state dict -> :mod:`models.yolo11` pytree.
+
+    Accepts the naming of ``YOLO('yolo11n-cls.pt').model.state_dict()``
+    (``model.N....``, optionally nested one level deeper as
+    ``model.model.N....`` when the full wrapper was pickled): Conv modules
+    carry ``.conv.weight`` (OIHW -> HWIO here) plus ``.bn.{weight,bias,
+    running_mean,running_var}``; C3k2/C3k/C2PSA submodules index through
+    ``.m.N.``; the Classify head is ``10.conv`` + ``10.linear``. A head whose
+    class count differs from ``cfg.num_classes`` (e.g. an ImageNet-1k
+    checkpoint fine-tuned here on the 21-class unified set) requires
+    ``allow_missing_head=True`` and zero-initializes the classifier, matching
+    the other importers' convention. Reference capability: README.md:49-57
+    ("yolo11-cls ... via TIMM" zoo row — never actually implemented there)."""
+    sd = _as_numpy(state_dict)
+    while sd and not any(k.split(".")[0].isdigit() for k in sd):
+        stripped = {k[len("model."):]: v for k, v in sd.items()
+                    if k.startswith("model.")}
+        if not stripped:
+            raise ValueError("unrecognized ultralytics state-dict naming: "
+                             f"e.g. {next(iter(sd))!r}")
+        sd = stripped
+
+    def conv(prefix):
+        w = sd[f"{prefix}.conv.weight"]
+        return {"w": w.transpose(2, 3, 1, 0).astype(dtype),
+                "bn": {"scale": sd[f"{prefix}.bn.weight"].astype(dtype),
+                       "bias": sd[f"{prefix}.bn.bias"].astype(dtype),
+                       "mean": sd[f"{prefix}.bn.running_mean"].astype(dtype),
+                       "var": sd[f"{prefix}.bn.running_var"].astype(dtype)}}
+
+    def n_members(prefix):
+        pat = prefix + ".m."
+        idxs = {int(k[len(pat):].split(".")[0]) for k in sd if k.startswith(pat)}
+        if idxs != set(range(len(idxs))):
+            raise KeyError(f"non-contiguous member indices under {pat!r}")
+        return len(idxs)
+
+    def bottleneck(prefix):
+        return {"cv1": conv(f"{prefix}.cv1"), "cv2": conv(f"{prefix}.cv2")}
+
+    def c3k(prefix):
+        return {"cv1": conv(f"{prefix}.cv1"), "cv2": conv(f"{prefix}.cv2"),
+                "cv3": conv(f"{prefix}.cv3"),
+                "m": {str(i): bottleneck(f"{prefix}.m.{i}")
+                      for i in range(n_members(prefix))}}
+
+    def c3k2(prefix, with_c3k):
+        sub = c3k if with_c3k else bottleneck
+        return {"cv1": conv(f"{prefix}.cv1"), "cv2": conv(f"{prefix}.cv2"),
+                "m": {str(i): sub(f"{prefix}.m.{i}")
+                      for i in range(n_members(prefix))}}
+
+    def psablock(prefix):
+        return {"attn": {"qkv": conv(f"{prefix}.attn.qkv"),
+                         "pe": conv(f"{prefix}.attn.pe"),
+                         "proj": conv(f"{prefix}.attn.proj")},
+                "ffn1": conv(f"{prefix}.ffn.0"), "ffn2": conv(f"{prefix}.ffn.1")}
+
+    params = {
+        "stem0": conv("0"), "stem1": conv("1"),
+        "c3k2_0": c3k2("2", False), "down0": conv("3"),
+        "c3k2_1": c3k2("4", False), "down1": conv("5"),
+        "c3k2_2": c3k2("6", True), "down2": conv("7"),
+        "c3k2_3": c3k2("8", True),
+        "c2psa": {"cv1": conv("9.cv1"), "cv2": conv("9.cv2"),
+                  "m": {str(i): psablock(f"9.m.{i}")
+                        for i in range(n_members("9"))}},
+    }
+
+    lin_w = sd.get("10.linear.weight")
+    if lin_w is not None and lin_w.shape[0] == cfg.num_classes:
+        linear = {"w": lin_w.T.astype(dtype),
+                  "b": sd["10.linear.bias"].astype(dtype)}
+    elif allow_missing_head:
+        linear = {"w": np.zeros((cfg.head_width, cfg.num_classes), dtype),
+                  "b": np.zeros((cfg.num_classes,), dtype)}
+    else:
+        have = "missing" if lin_w is None else f"{lin_w.shape[0]}-class"
+        raise KeyError(f"checkpoint head is {have}, config wants "
+                       f"{cfg.num_classes} classes (pass "
+                       "allow_missing_head=True to zero-init the classifier)")
+    params["head"] = {"conv": conv("10.conv"), "linear": linear}
+
+    # shape guard: catch scale/width mismatches with a named error instead of
+    # a downstream dot_general failure
+    from . import yolo11 as _y
+    expected = jax.eval_shape(lambda: _y.init(jax.random.key(0), cfg))
+    from ..utils import trees
+    got_flat = trees.flatten_with_paths(params)
+    exp_flat = trees.flatten_with_paths(expected)
+    if set(got_flat) != set(exp_flat):
+        missing = sorted(set(exp_flat) - set(got_flat))[:5]
+        extra = sorted(set(got_flat) - set(exp_flat))[:5]
+        raise KeyError(f"param-tree mismatch: missing={missing} extra={extra}")
+    for path, leaf in got_flat.items():
+        if tuple(leaf.shape) != tuple(exp_flat[path].shape):
+            raise ValueError(
+                f"{path}: checkpoint shape {tuple(leaf.shape)} != config "
+                f"shape {tuple(exp_flat[path].shape)} — wrong model scale?")
+    return params
+
+
+def ultralytics_from_yolo11_params(params, cfg) -> dict[str, np.ndarray]:
+    """Inverse of :func:`yolo11_params_from_ultralytics` (ultralytics-format
+    export; also the fixture builder for the round-trip test)."""
+    sd: dict[str, np.ndarray] = {}
+
+    def put_conv(prefix, p):
+        sd[f"{prefix}.conv.weight"] = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+        sd[f"{prefix}.bn.weight"] = np.asarray(p["bn"]["scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(p["bn"]["bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(p["bn"]["mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(p["bn"]["var"])
+
+    def put_tree(prefix, p):
+        if "w" in p and "bn" in p:
+            put_conv(prefix, p)
+            return
+        for key, sub in p.items():
+            name = key
+            if key == "attn":
+                put_tree(f"{prefix}.attn", sub)
+                continue
+            if key in ("ffn1", "ffn2"):
+                name = "ffn." + ("0" if key == "ffn1" else "1")
+            put_tree(f"{prefix}.{name}", sub)
+
+    for idx, key in _YOLO11_LAYER_KEYS:
+        if key == "head":
+            put_conv(f"{idx}.conv", params["head"]["conv"])
+            sd[f"{idx}.linear.weight"] = np.asarray(params["head"]["linear"]["w"]).T
+            sd[f"{idx}.linear.bias"] = np.asarray(params["head"]["linear"]["b"])
+        else:
+            put_tree(idx, params[key])
+    return {f"model.{k}": v for k, v in sd.items()}

@@ -26,9 +26,9 @@ def load_pretrained(name: str, num_classes: int, checkpoint: Optional[str],
     ``checkpoint=None`` -> random init (and a zero-delta LoRA attach still
     works). Families: vit/dinov1, swin, convnext — both HF-transformers and
     timm state-dict naming are auto-detected (the reference README sources
-    its zoo "via TIMM").
-    yolo11 has no importable public torch zoo in this environment — random
-    init only (raise if a checkpoint is passed, rather than mis-parse)."""
+    its zoo "via TIMM") — and yolo11 in ultralytics ``model.N...`` naming
+    (``hf_import.yolo11_params_from_ultralytics``), completing the 5/5
+    pretrained-import zoo."""
     entry = get_model(name)
     cfg = entry.config(num_classes)
     if checkpoint is None:
@@ -55,6 +55,11 @@ def load_pretrained(name: str, num_classes: int, checkpoint: Optional[str],
     elif entry.family == "convnext":
         params = (hf_import.convnext_params_from_timm(sd, cfg) if is_timm
                   else hf_import.convnext_params_from_hf(sd, cfg))
+    elif entry.family == "yolo11":
+        lin = next((k for k in sd if k.endswith("linear.weight")), None)
+        n_ckpt = sd[lin].shape[0] if lin is not None else -1
+        params = hf_import.yolo11_params_from_ultralytics(
+            sd, cfg, allow_missing_head=n_ckpt != cfg.num_classes)
     else:
         raise ValueError(f"no weight importer for family {entry.family!r} "
                          f"(model {name!r}); omit checkpoint for random init")
