@@ -1,0 +1,238 @@
+"""Fused Swin window-attention Pallas kernel (forward + custom VJP).
+
+Swin's attention is many tiny (49x49) problems — the XLA composition pays
+fusion-breaking materializations around each one: slicing q/k/v out of the
+fused qkv projection (3 map-sized copies), layout moves for the head-batched
+einsums, and the scores/probs HBM round trip. The round-2 Swin-B trace
+showed ~25% of PGD runtime in plain copies even after the window-resident
+restructure (models/swin.py).
+
+This kernel takes the qkv projection's RAW output (B, nW, n, 3C) plus the
+COMPACT relative-position bias (heads, Np, Np) and shift mask (nW, Np, Np)
+— not the (B, nW, heads, n, n) broadcasts — and emits the attention output
+(B, nW, n, C) in one pass: per-head q/k/v slicing, scores, bias+mask,
+softmax, and the probability-weighted sum all happen in VMEM. Scores never
+touch HBM in either direction; the backward kernel rematerializes them
+(flash-style) and emits dqkv in one pass.
+
+Grid: one program per (batch element, window chunk); the mask block is
+indexed by the window-chunk coordinate so each window sees its own shift
+mask without any broadcast materialization (the round-1 prototype's
+mistake, NOTES_NEXT_ROUND.md §1).
+
+Numerics match ``models.swin._window_attention`` (f32 scores/softmax math,
+bf16 storage): parity tested in interpret mode on CPU and against the HF
+Swin fixture on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, heads: int,
+                n_real: int, scale: float):
+    qkv = qkv_ref[0]  # (GW, Np, 3C)
+    gw, np_, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
+    pad_mask = jnp.where(key_ids < n_real, 0.0, -1e30)  # (1,1,Np) f32
+    shift_mask = mask_ref[...].astype(jnp.float32)  # (GW, Np, Np)
+
+    for h in range(heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[h][None].astype(jnp.float32)
+        s = s + shift_mask + pad_mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, dbias_ref, *,
+                heads: int, n_real: int, scale: float):
+    qkv = qkv_ref[0]
+    do_full = do_ref[0]  # (GW, Np, C)
+    gw, np_, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
+    pad_mask = jnp.where(key_ids < n_real, 0.0, -1e30)
+    shift_mask = mask_ref[...].astype(jnp.float32)
+
+    # dbias accumulates across the whole grid: its block index is constant,
+    # so the buffer stays resident; zero it on the first program only.
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for h in range(heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        do = do_full[:, :, h * hd:(h + 1) * hd]
+
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[h][None].astype(jnp.float32) + shift_mask + pad_mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        p_lp = p.astype(v.dtype)
+        dv = jax.lax.dot_general(p_lp, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds_u = p * (dp - row)  # dL/ds (bias/mask enter s additively)
+        ds_lp = (ds_u * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(ds_lp, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+
+        dqkv_ref[0, :, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, c + h * hd:c + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, 2 * c + h * hd:2 * c + (h + 1) * hd] = \
+            dv.astype(dqkv_ref.dtype)
+        # d(bias)_h = sum over batch and windows of dL/ds
+        dbias_ref[h] += jnp.sum(ds_u, axis=0)
+
+
+def _pick_gw(n_windows: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if n_windows % cand == 0:
+            return cand
+    return 1
+
+
+def _pad_tokens(x: jax.Array, n_pad: int) -> jax.Array:
+    n = x.shape[2]
+    if n == n_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+
+def _specs(qkv, bias, mask, heads):
+    b, nw, n_pad, _ = qkv.shape
+    gw = _pick_gw(nw)
+    grid = (b, nw // gw)
+    qkv_spec = pl.BlockSpec((1, gw, n_pad, qkv.shape[-1]),
+                            lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((heads, n_pad, n_pad), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((gw, n_pad, n_pad), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def map_spec(channels):
+        return pl.BlockSpec((1, gw, n_pad, channels), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return grid, [qkv_spec, bias_spec, mask_spec], map_spec
+
+
+def _call_fwd(qkv, bias, mask, *, heads: int, n_real: int, scale: float):
+    b, nw, n_pad, c3 = qkv.shape
+    c = c3 // 3
+    grid, in_specs, map_spec = _specs(qkv, bias, mask, heads)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, heads=heads, n_real=n_real,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, nw, n_pad, c), qkv.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=map_spec(c),
+    )(qkv, bias, mask)
+
+
+def _call_bwd(qkv, bias, mask, do, *, heads: int, n_real: int, scale: float):
+    b, nw, n_pad, c3 = qkv.shape
+    c = c3 // 3
+    grid, in_specs, map_spec = _specs(qkv, bias, mask, heads)
+    in_specs.append(map_spec(c))  # do (cotangent) shares the output layout
+    dbias_spec = pl.BlockSpec((heads, n_pad, n_pad), lambda i, j: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, n_real=n_real,
+                          scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((b, nw, n_pad, c3), qkv.dtype),
+                   jax.ShapeDtypeStruct((heads, n_pad, n_pad), jnp.float32)),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(map_spec(c3), dbias_spec),
+    )(qkv, bias, mask, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
+                           heads: int) -> jax.Array:
+    """``softmax(q k^T / sqrt(hd) + bias + mask) v`` over Swin windows.
+
+    ``qkv``: (B, nW, n, 3C) — the raw fused projection output (head-major
+    slices q|k|v on the channel axis, head h at channels [h*hd, (h+1)*hd)).
+    ``bias``: (heads, n, n) relative-position bias (table already gathered
+    through the static rel-index — compact, not broadcast).
+    ``mask``: (nW, n, n) additive shift mask (zeros for unshifted blocks).
+    Returns (B, nW, n, C). Gradients flow to ``qkv`` and ``bias`` (the bias
+    table is a trainable parameter; its gradient accumulates across the grid
+    in a resident VMEM block); the shift mask is a constant (zero grad).
+    """
+    return _fwd_impl(qkv, bias, mask, heads)
+
+
+def _prep(qkv, bias, mask):
+    n = qkv.shape[2]
+    n_pad = _round_up(n, 64)
+    qkv_p = _pad_tokens(qkv, n_pad)
+    pad2 = ((0, 0), (0, n_pad - n), (0, n_pad - n))
+    bias_p = jnp.pad(bias, pad2) if n != n_pad else bias
+    mask_p = jnp.pad(mask, pad2) if n != n_pad else mask
+    return qkv_p, bias_p, mask_p, n, n_pad
+
+
+def _fwd_impl(qkv, bias, mask, heads):
+    qkv_p, bias_p, mask_p, n, n_pad = _prep(qkv, bias, mask)
+    c = qkv.shape[-1] // 3
+    scale = (c // heads) ** -0.5
+    o = _call_fwd(qkv_p, bias_p, mask_p, heads=heads, n_real=n, scale=scale)
+    return o[:, :, :n, :]
+
+
+def _fwd_rule(qkv, bias, mask, heads):
+    return _fwd_impl(qkv, bias, mask, heads), (qkv, bias, mask)
+
+
+def _bwd_rule(heads, res, g):
+    qkv, bias, mask = res
+    qkv_p, bias_p, mask_p, n, n_pad = _prep(qkv, bias, mask)
+    c = qkv.shape[-1] // 3
+    scale = (c // heads) ** -0.5
+    g_p = _pad_tokens(g, n_pad)
+    dqkv, dbias = _call_bwd(qkv_p, bias_p, mask_p, g_p, heads=heads,
+                            n_real=n, scale=scale)
+    n_real = qkv.shape[2]
+    return (dqkv[:, :, :n_real, :],
+            dbias[:, :n_real, :n_real].astype(bias.dtype),
+            jnp.zeros_like(mask))
+
+
+fused_window_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -46,6 +46,10 @@ class SwinConfig:
     # HBM buffers (same finding as models/vit.py round-2 trace). Costs
     # O(depth) compile time; on for the flagship benchmark path.
     unroll_layers: bool = False
+    # Pallas fused window attention (kernels/window_attention.py): consumes
+    # the raw fused-qkv projection, gathers compact bias/mask in-kernel, and
+    # keeps the (49, 49) scores in VMEM. TPU only — XLA path elsewhere.
+    use_fused_attention: bool = False
 
     @property
     def num_stages(self) -> int:
@@ -185,12 +189,22 @@ def init(rng: jax.Array, cfg: SwinConfig) -> dict:
 
 
 def _window_attention(bp: dict, x: jax.Array, *, heads: int, window: int,
-                      rel_index: jax.Array, mask, eps: float) -> jax.Array:
+                      rel_index: jax.Array, mask, eps: float,
+                      fused: bool = False) -> jax.Array:
     """x: (B, nW, W^2, C) -> same. ``mask``: (nW, W^2, W^2) or None."""
     b, nw, n, c = x.shape
     hd = c // heads
     h = layer_norm(bp["ln1"], x, eps=eps)
     qkv = dense(bp["attn"]["qkv"], h, compute_dtype=x.dtype)
+    if fused and jax.default_backend() == "tpu":
+        from ..kernels.window_attention import fused_window_attention
+
+        bias = bp["attn"]["bias_table"][rel_index].astype(jnp.float32)
+        bias = bias.transpose(2, 0, 1)  # (heads, W^2, W^2), compact
+        m = (mask if mask is not None
+             else jnp.zeros((nw, n, n), jnp.float32))
+        out = fused_window_attention(qkv, bias, m, heads)
+        return dense(bp["attn"]["proj"], out, compute_dtype=x.dtype)
     # Keep (B, nW, W^2, heads, hd) layout and let the einsums carry the head
     # axis — the explicit 6-axis transpose copied ~150 MB per block and
     # measured ~2x slower end-to-end at batch 64 on v5e.
@@ -243,7 +257,8 @@ def _block(cfg: SwinConfig, bp: dict, x: jax.Array, *, heads: int,
     independent) then runs in that layout. No roll/partition copies here."""
     eps = cfg.layer_norm_eps
     attn = _window_attention(bp, x, heads=heads, window=cfg.window,
-                             rel_index=rel_index, mask=mask, eps=eps)
+                             rel_index=rel_index, mask=mask, eps=eps,
+                             fused=cfg.use_fused_attention)
     x = x + attn
     h = layer_norm(bp["ln2"], x, eps=eps)
     h = gelu(dense(bp["mlp"]["fc1"], h, compute_dtype=x.dtype))
