@@ -179,6 +179,11 @@ def cmd_attack(args):
     if "fgsm" in args.attacks:
         f = whitebox.make_fgsm(entry.apply, cfg, eps=args.epsilon,
                                normalize=normalize)
+        # FGSM is deterministic (no random start, reference
+        # whitebox_attacks.py:22-38), so the per-batch rng generate.run_split
+        # folds in is intentionally dropped here; PGD consumes it for its
+        # random start. The two attacks therefore see different rng stream
+        # disciplines by design.
         attacks["fgsm"] = lambda p, im, lb, rng, _f=f: _f(p, im, lb)
     if "pgd" in args.attacks:
         attacks["pgd"] = whitebox.make_pgd(

@@ -447,6 +447,9 @@ def process_cure_tsd(base_dir, output_dir, split="train", *, log=print):
             log(f"cannot open {video_path}")
             continue
         total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        # One seek per annotated frame (sorted, so seeks are monotone). CURE-TSD
+        # annotates a sparse subset of each 300-frame sequence; sequential
+        # decode-and-skip would read ~10x more frames than seeking does here.
         for frame_idx in sorted(frame_to_annots):
             if frame_idx < 0 or frame_idx >= total:
                 continue
