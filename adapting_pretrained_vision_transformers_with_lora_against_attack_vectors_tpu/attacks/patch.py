@@ -71,7 +71,8 @@ def _composite_one(image: jax.Array, patch: jax.Array, mask: jax.Array,
     patch center lands at image center + (tx, ty) pixels; ``theta`` rotates
     the patch; ``brightness`` multiplies patch pixels (RP2 physical
     lighting augmentation). Bilinear resample via ``map_coordinates``;
-    out-of-footprint pixels keep the image.
+    out-of-footprint pixels keep the image. Bilinear resample expressed as
+    einsum contractions (MXU-friendly; see inline note below).
     """
     s = image.shape[0]
     p = patch.shape[0]
@@ -86,13 +87,25 @@ def _composite_one(image: jax.Array, patch: jax.Array, mask: jax.Array,
     u = (cos * dx - sin * dy) / k + (p - 1) / 2.0
     v = (sin * dx + cos * dy) / k + (p - 1) / 2.0
 
-    coords = jnp.stack([v, u])  # map_coordinates order: (row, col)
-    patch_rgb = jnp.stack([
-        jax.scipy.ndimage.map_coordinates(patch[..., c], coords, order=1,
-                                          mode="constant", cval=0.0)
-        for c in range(3)], axis=-1)
-    m = jax.scipy.ndimage.map_coordinates(mask, coords, order=1,
-                                          mode="constant", cval=0.0)[..., None]
+    # Bilinear sampling as two einsum contractions instead of gathers.
+    # map_coordinates' dynamic gathers serialize on TPU (~0.7 s per EOT
+    # iteration at batch 24 — slow enough that a 500-iter scan trips the
+    # device watchdog); but order-1 interpolation is separable and linear in
+    # the patch, so sample[y,x] = sum_pq A[yx,p] B[yx,q] patch[p,q] with the
+    # soft one-hot weights A = relu(1-|v-p|), B = relu(1-|u-q|). Rows whose
+    # coordinate falls outside the patch decay to zero weight — exactly
+    # `mode='constant', cval=0` semantics (parity-tested against
+    # map_coordinates in tests/test_attacks.py). All MXU/VPU work, no
+    # gathers: ~70x faster end-to-end per EOT iteration.
+    n = s * s
+    idx = jnp.arange(p, dtype=jnp.float32)
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(v.reshape(n)[:, None] - idx))  # (n,P)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(u.reshape(n)[:, None] - idx))  # (n,P)
+    planes = jnp.concatenate([patch, mask[..., None]], axis=-1)  # (P,P,4)
+    t = jnp.einsum("nq,pqc->npc", wu, planes)
+    samp = jnp.einsum("np,npc->nc", wv, t)  # (n, 4)
+    patch_rgb = samp[:, :3].reshape(s, s, 3)
+    m = samp[:, 3].reshape(s, s, 1)
     patched = jnp.clip(patch_rgb * brightness, 0.0, 1.0)
     return image * (1.0 - m) + patched * m
 

@@ -63,6 +63,44 @@ def test_composite_translation_and_brightness():
     assert out[24, 8, 0] == 0.0
 
 
+def test_composite_matches_map_coordinates_reference():
+    """The einsum-contraction bilinear composite (TPU-native, gather-free)
+    must match a straight map_coordinates(order=1, constant, cval=0)
+    implementation to float tolerance under arbitrary rotation/scale/
+    translation/brightness."""
+    cfg = small_cfg(shape="circle")
+    rng = jax.random.key(7)
+    image = jax.random.uniform(rng, (3, 32, 32, 3))
+    patch = jax.random.uniform(jax.random.fold_in(rng, 1), (8, 8, 3))
+    mask = patch_mod.patch_mask(cfg)
+    eot = patch_mod._sample_eot(jax.random.fold_in(rng, 2), 3, cfg, 32)
+
+    def reference_one(image, patch, mask, scale, theta, tx, ty, brightness):
+        s, p = image.shape[0], patch.shape[0]
+        yy, xx = jnp.mgrid[0:s, 0:s].astype(jnp.float32)
+        cy = cx = (s - 1) / 2.0
+        dx, dy = xx - cx - tx, yy - cy - ty
+        cos, sin = jnp.cos(-theta), jnp.sin(-theta)
+        k = scale * s / p
+        u = (cos * dx - sin * dy) / k + (p - 1) / 2.0
+        v = (sin * dx + cos * dy) / k + (p - 1) / 2.0
+        coords = jnp.stack([v, u])
+        patch_rgb = jnp.stack([
+            jax.scipy.ndimage.map_coordinates(patch[..., c], coords, order=1,
+                                              mode="constant", cval=0.0)
+            for c in range(3)], axis=-1)
+        m = jax.scipy.ndimage.map_coordinates(mask, coords, order=1,
+                                              mode="constant", cval=0.0)[..., None]
+        patched = jnp.clip(patch_rgb * brightness, 0.0, 1.0)
+        return image * (1.0 - m) + patched * m
+
+    got = patch_mod.composite_batch(image, patch, mask, eot)
+    want = jax.vmap(reference_one, in_axes=(0, None, None, 0, 0, 0, 0, 0))(
+        image, patch, mask, *eot)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
 def test_composite_stays_in_range():
     cfg = small_cfg()
     rng = jax.random.key(0)
