@@ -1,0 +1,86 @@
+"""Whole-zoo PGD-10 throughput table (one chip) — the PARITY/PERF numbers.
+
+For each registered full-size backbone (reference README.md:49-57 zoo),
+builds bf16 params, runs the jitted PGD-10 program (`attacks.whitebox.pgd`)
+at batch 64 with the model's best-known flags (unrolled encoder; fused
+attention where the backbone has a Pallas kernel), and prints imgs/sec/chip
+using the chained + scalar-fetch timing discipline (block_until_ready is a
+no-op on axon — see bench.py).
+
+Usage: python tools/bench_zoo.py [--models google_vit swin ...]
+                                 [--batch 64] [--iters 4] [--no-fused]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")  # repo root
+
+import jax
+import jax.numpy as jnp
+
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
+
+DEFAULT_MODELS = ["google_vit", "swin", "convnext", "yolo11-cls"]
+
+
+def bench_one(name: str, batch: int, steps: int, iters: int,
+              fused: bool) -> float:
+    entry = registry.get_model(name)
+    cfg = entry.config(21)
+    for flag, val in (("unroll_layers", True), ("use_fused_attention", fused)):
+        if hasattr(cfg, flag):
+            cfg = dataclasses.replace(cfg, **{flag: val})
+
+    @jax.jit
+    def build(rng):
+        return jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                            entry.init(rng, cfg))
+
+    params = build(jax.random.key(0))
+    run = whitebox.make_pgd(entry.apply, cfg, eps=8 / 255, alpha=3 / 255,
+                            steps=steps)
+    size = cfg.image_size
+    images = jax.device_put(jax.random.uniform(
+        jax.random.key(2), (batch, size, size, 3), jnp.float32))
+    labels = jax.device_put(jax.random.randint(
+        jax.random.key(3), (batch,), 0, 21))
+    checksum = jax.jit(jnp.sum)
+
+    float(checksum(run(params, images, labels, jax.random.key(99))))  # warm
+    t0 = time.perf_counter()
+    x = images
+    for i in range(iters):
+        x = run(params, x, labels, jax.random.key(i))
+    float(checksum(x))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="+", default=DEFAULT_MODELS)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--no-fused", action="store_true")
+    args = ap.parse_args()
+
+    print(f"| backbone | PGD-{args.steps} imgs/s (B={args.batch}) |")
+    print("|---|---|")
+    for name in args.models:
+        try:
+            v = bench_one(name, args.batch, args.steps, args.iters,
+                          fused=not args.no_fused)
+            print(f"| {name} | {v:.1f} |", flush=True)
+        except Exception as e:  # keep sweeping — same isolation as the CLI
+            print(f"| {name} | FAILED: {type(e).__name__}: {e} |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
