@@ -6,8 +6,9 @@ RandomHorizontalFlip -> ColorJitter(0.2, 0.2, 0.2)``), re-designed for TPU:
 
 * The three geometric ops compose into a **single inverse affine** per image
   (rotation ∘ crop-resize ∘ flip), sampled once with ``jax.random`` and
-  applied with one bilinear ``map_coordinates`` gather — one resample
-  instead of torchvision's three sequential PIL passes (which also triple
+  applied with one gather-free bilinear resample (separable soft-one-hot
+  contractions on the MXU — see ``_warp_one``) — one resample instead of
+  torchvision's three sequential PIL passes (which also triple
   interpolation blur). Out-of-bounds pixels fill 0 like torchvision's
   rotation fill.
 * Color jitter multiplies brightness and interpolates contrast/saturation
@@ -92,16 +93,38 @@ def _sample_affine(rng: jax.Array, n: int, size: int, cfg: AugmentConfig):
 
 
 def _warp_one(image: jax.Array, affine) -> jax.Array:
+    """Inverse-affine bilinear warp, gather-free.
+
+    map_coordinates' dynamic gathers serialize on TPU (~12 ms per 224px
+    image — 10x the whole ViT-B train-step cost at batch 32). Order-1
+    interpolation is separable and linear in the source, so the warp is a
+    row-weight matmul plus a column-weight contraction with soft one-hot
+    weights relu(1-|coord-index|) — identical numerics to
+    map_coordinates(order=1, mode='constant', cval=0), including the edge
+    decay to the zero fill (parity-tested in tests/test_augment.py).
+    Output rows are processed in chunks under ``lax.map`` to bound the
+    (chunk*s, s*3) intermediate; the matmuls ride the MXU.
+    """
     a00, a01, a10, a11, t_x, t_y = affine
     s = image.shape[0]
-    oy, ox = jnp.mgrid[0:s, 0:s].astype(jnp.float32)
-    src_x = a00 * ox + a01 * oy + t_x
-    src_y = a10 * ox + a11 * oy + t_y
-    coords = jnp.stack([src_y, src_x])
-    return jnp.stack([
-        jax.scipy.ndimage.map_coordinates(image[..., ch], coords, order=1,
-                                          mode="constant", cval=0.0)
-        for ch in range(3)], axis=-1)
+    n_chunks = next(c for c in (28, 16, 8, 4, 2, 1) if s % c == 0)
+    r = s // n_chunks
+    idx = jnp.arange(s, dtype=jnp.float32)
+    img2 = image.reshape(s, s * 3)  # (src_row, src_col*channel)
+
+    def chunk(cy):
+        oy = cy.astype(jnp.float32) * r + jnp.arange(r, dtype=jnp.float32)
+        ox = jnp.arange(s, dtype=jnp.float32)
+        oyg, oxg = jnp.meshgrid(oy, ox, indexing="ij")  # (r, s)
+        src_x = (a00 * oxg + a01 * oyg + t_x).reshape(-1)  # (r*s,)
+        src_y = (a10 * oxg + a11 * oyg + t_y).reshape(-1)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(src_y[:, None] - idx))  # (n, s)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(src_x[:, None] - idx))  # (n, s)
+        t = (wy @ img2).reshape(-1, s, 3)  # rows sampled at src_y
+        out = jnp.einsum("nq,nqc->nc", wx, t)  # columns sampled at src_x
+        return out.reshape(r, s, 3)
+
+    return jax.lax.map(chunk, jnp.arange(n_chunks)).reshape(s, s, 3)
 
 
 def _color_jitter(images: jax.Array, rng: jax.Array,

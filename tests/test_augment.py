@@ -14,6 +14,33 @@ def _imgs(n=4, size=32):
     return jax.random.uniform(jax.random.key(0), (n, size, size, 3))
 
 
+def test_warp_matches_map_coordinates_reference():
+    """The gather-free separable warp must match a straight
+    map_coordinates(order=1, constant, cval=0) warp to float tolerance for
+    random affines (including out-of-bounds coordinates)."""
+    rng = jax.random.key(3)
+    n, size = 3, 32
+    images = jax.random.uniform(rng, (n, size, size, 3))
+    affine = augment._sample_affine(jax.random.fold_in(rng, 1), n, size,
+                                    augment.DEFAULT)
+
+    def reference_one(image, aff):
+        a00, a01, a10, a11, t_x, t_y = aff
+        s = image.shape[0]
+        oy, ox = jnp.mgrid[0:s, 0:s].astype(jnp.float32)
+        coords = jnp.stack([a10 * ox + a11 * oy + t_y,
+                            a00 * ox + a01 * oy + t_x])
+        return jnp.stack([
+            jax.scipy.ndimage.map_coordinates(image[..., ch], coords, order=1,
+                                              mode="constant", cval=0.0)
+            for ch in range(3)], axis=-1)
+
+    got = jax.vmap(augment._warp_one)(images, affine)
+    want = jax.vmap(reference_one)(images, affine)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
 def test_augment_shapes_and_range():
     x = _imgs()
     out = augment.train_augment(x, jax.random.key(1))
