@@ -44,6 +44,11 @@ class ViTConfig:
     # Pallas whole-head-in-VMEM attention (kernels/attention.py): scores
     # never touch HBM in either direction. TPU only — leave False on CPU.
     use_fused_attention: bool = False
+    # Pallas fused MLP (kernels/mlp.py): both weight matrices VMEM-resident,
+    # hidden activation never touches HBM in either pass. TPU only; silently
+    # falls back to the XLA composition off-TPU, when the weights exceed the
+    # VMEM budget, or when the block carries an unmerged LoRA branch.
+    use_fused_mlp: bool = False
     # Python-unroll the layer loop instead of lax.scan. The scan's backward
     # saves per-layer residuals via dynamic-update-slice into stacked HBM
     # buffers — profiled at ~26% of PGD runtime on v5e (round-2 trace);
@@ -151,6 +156,14 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
     x = x + dense(bp["attn"]["o"], attn_out, compute_dtype=cd)
 
     h = layer_norm(bp["ln2"], x, eps=eps)
+    fc1, fc2 = bp["mlp"]["fc1"], bp["mlp"]["fc2"]
+    if cfg.use_fused_mlp and "lora_a" not in fc1 and "lora_a" not in fc2:
+        from ..kernels.mlp import fits_vmem, fused_mlp
+
+        if (jax.default_backend() == "tpu"
+                and fits_vmem(cfg.hidden_dim, cfg.mlp_dim, cd)):
+            return x + fused_mlp(h, fc1["w"], fc1["b"], fc2["w"],
+                                 fc2["b"]).astype(cd)
     h = gelu(dense(bp["mlp"]["fc1"], h, compute_dtype=cd))
     x = x + dense(bp["mlp"]["fc2"], h, compute_dtype=cd)
     return x

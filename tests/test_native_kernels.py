@@ -193,3 +193,62 @@ def test_fused_attention_vit_flag_interpret():
         ref = vit.apply(vit.VIT_TEST, params, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-3)
+
+
+# --- Pallas fused MLP (interpret mode) ---------------------------------------
+
+def test_fused_mlp_interpret_parity():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import mlp as km
+
+    rng = jax.random.key(5)
+    d, m, t = 32, 128, 70  # t deliberately not a block multiple
+    x = jax.random.normal(jax.random.fold_in(rng, 0), (2, 35, d))
+    w1 = jax.random.normal(jax.random.fold_in(rng, 1), (d, m)) * 0.1
+    b1 = jax.random.normal(jax.random.fold_in(rng, 2), (m,)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (m, d)) * 0.1
+    b2 = jax.random.normal(jax.random.fold_in(rng, 4), (d,)) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        o = km.fused_mlp(x, w1, b1, w2, b2)
+        ref = km.mlp_reference(x.reshape(-1, d), w1, b1, w2, b2).reshape(x.shape)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+        # input gradient (the attack path) and weight/bias grads (train path)
+        def loss(f):
+            return lambda *a: jnp.sum(f(*a) ** 2)
+
+        ref_fn = lambda x, w1, b1, w2, b2: km.mlp_reference(
+            x.reshape(-1, d), w1, b1, w2, b2).reshape(x.shape)
+        g = jax.grad(loss(km.fused_mlp), argnums=(0, 1, 2, 3, 4))(
+            x, w1, b1, w2, b2)
+        g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2, 3, 4))(
+            x, w1, b1, w2, b2)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-3)
+
+
+def test_fused_mlp_vit_flag_interpret():
+    """ViTConfig.use_fused_mlp dispatches the kernel and matches the XLA
+    path (backend pretend via interpret mode)."""
+    import dataclasses
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+
+    cfg = vit.VIT_TEST
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (2, cfg.image_size,
+                                               cfg.image_size, 3))
+    ref = vit.apply(cfg, params, x)
+    fused_cfg = dataclasses.replace(cfg, use_fused_mlp=True)
+    with pltpu.force_tpu_interpret_mode(), \
+            mock.patch("jax.default_backend", return_value="tpu"):
+        got = vit.apply(fused_cfg, params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
