@@ -101,6 +101,7 @@ def fit(
     init_state: Optional[TrainState] = None,
     start_epoch: int = 0,
     init_best: Optional[tuple] = None,
+    frozen=None,
 ) -> FitResult:
     """Shared epoch engine: train ``epochs`` epochs, track best-on-val params.
 
@@ -108,10 +109,15 @@ def fit(
     epoch record is appended as a JSONL event. ``step_rng``: see
     :func:`train.steps.make_train_step` (training-time stochastic branches).
     ``init_state``/``start_epoch``: resume a run mid-way (the capability the
-    reference lacks, SURVEY.md §5 checkpoint row)."""
+    reference lacks, SURVEY.md §5 checkpoint row). ``frozen``: non-trainable
+    pytree passed through jit as an argument (LoRA base params — see
+    ``make_train_step``); when set ``forward`` is
+    ``forward(frozen, trainable, x, ...)``."""
     train_step = make_train_step(forward, tx, normalize=normalize,
-                                 step_rng=step_rng, augment=augment)
-    eval_step = make_eval_step(forward, num_classes, normalize=normalize)
+                                 step_rng=step_rng, augment=augment,
+                                 frozen=frozen)
+    eval_step = make_eval_step(forward, num_classes, normalize=normalize,
+                               frozen=frozen)
 
     state = init_state if init_state is not None else TrainState.create(trainable, tx)
     if init_best is not None:
@@ -332,10 +338,13 @@ def train_lora_adapter(
         # the caller's base-model head buffers on the first step (TPU)
         trainable["head"] = jax.tree.map(jnp.copy, base_params["head"])
 
-    def forward(train_tree, x, drop_rng=None):
+    def forward(base, train_tree, x, drop_rng=None):
         # drop_rng is the per-step key from make_train_step: training passes
         # it (PEFT lora_dropout on the adapter branch); eval omits it.
-        p = lora.attach(base_params, train_tree["adapter"], lora_cfg,
+        # ``base`` arrives as a jit ARGUMENT (fit(frozen=...)) — closing over
+        # the 344 MB ViT-B tree would embed it in the lowered module, which
+        # the axon remote-compile upload rejects (HTTP 413).
+        p = lora.attach(base, train_tree["adapter"], lora_cfg,
                         dropout_rng=drop_rng)
         if train_head:
             p = dict(p)
@@ -345,7 +354,7 @@ def train_lora_adapter(
     tx = optim.lora_adam(lr)
     result = fit(forward, trainable, tx, train_loader, val_loader,
                  epochs=epochs, num_classes=len(vocab), normalize=normalize,
-                 mesh=mesh, log=log,
+                 mesh=mesh, log=log, frozen=base_params,
                  step_rng=r_drop if lora_cfg.dropout > 0 else None)
 
     r = lora_cfg.rank

@@ -49,12 +49,20 @@ def make_train_step(
     normalize: Optional[Normalizer] = IMAGENET,
     step_rng: Optional[jax.Array] = None,
     augment: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    frozen: Any = None,
 ) -> Callable:
     """Build the jitted ``(state, images, labels, valid) -> (state, metrics)``.
 
     ``forward(trainable, normalized_images) -> logits``. For base training
-    pass ``lambda p, x: entry.apply(cfg, p, x)``; for LoRA training pass a
-    closure that attaches the adapter to frozen base params.
+    pass ``lambda p, x: entry.apply(cfg, p, x)``.
+
+    ``frozen``: optional non-trainable pytree (e.g. the frozen base params of
+    LoRA training). When given, ``forward`` is called as
+    ``forward(frozen, trainable, x, ...)`` and the tree is threaded through
+    jit as a real ARGUMENT — closing over 344 MB of ViT-B base params would
+    embed them in the lowered module, which the axon backend's remote-compile
+    upload rejects (HTTP 413) and which re-uploads with every recompile on
+    any backend.
 
     ``step_rng``: optional base PRNG key — when given, ``forward`` is called
     as ``forward(trainable, x, rng)`` with ``rng = fold_in(step_rng, step)``
@@ -71,17 +79,15 @@ def make_train_step(
     if augment is not None and step_rng is None:
         raise ValueError("augment requires step_rng")
 
-    def loss_fn(trainable, images, labels, valid, step):
+    def loss_fn(trainable, frozen_tree, images, labels, valid, step):
         rng = (jax.random.fold_in(step_rng, step)
                if step_rng is not None else None)
         if augment is not None:
             r_aug, rng = jax.random.split(rng)
             images = augment(images, r_aug)
         x = normalize(images) if normalize is not None else images
-        if step_rng is not None:
-            logits = forward(trainable, x, rng)
-        else:
-            logits = forward(trainable, x)
+        args = (trainable, x) if frozen is None else (frozen_tree, trainable, x)
+        logits = forward(*args, rng) if step_rng is not None else forward(*args)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         loss = (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
         preds = jnp.argmax(logits, axis=-1)
@@ -89,9 +95,9 @@ def make_train_step(
         return loss, correct
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, images, labels, valid):
+    def train_step_impl(state: TrainState, frozen_tree, images, labels, valid):
         (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, labels, valid, state.step)
+            state.params, frozen_tree, images, labels, valid, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
@@ -102,6 +108,9 @@ def make_train_step(
         }
         return new_state, metrics
 
+    def train_step(state: TrainState, images, labels, valid):
+        return train_step_impl(state, frozen, images, labels, valid)
+
     return train_step
 
 
@@ -110,6 +119,7 @@ def make_eval_step(
     num_classes: int,
     *,
     normalize: Optional[Normalizer] = IMAGENET,
+    frozen: Any = None,
 ) -> Callable:
     """Jitted ``(params, images, labels, valid) -> (loss_sum, confusion)``.
 
@@ -117,16 +127,23 @@ def make_eval_step(
     reference computes via sklearn on host-gathered predictions
     (train.py:85-110: accuracy + weighted F1) — see
     ``train.metrics.confusion_matrix_metrics``.
+
+    ``frozen``: see ``make_train_step`` — threaded through jit as a real
+    argument, with ``forward(frozen, params, x)`` calling convention.
     """
 
     @jax.jit
-    def eval_step(params, images, labels, valid):
+    def eval_step_impl(params, frozen_tree, images, labels, valid):
         x = normalize(images) if normalize is not None else images
-        logits = forward(params, x)
+        logits = (forward(params, x) if frozen is None
+                  else forward(frozen_tree, params, x))
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         preds = jnp.argmax(logits, axis=-1)
         conf = jnp.zeros((num_classes, num_classes), jnp.float32)
         conf = conf.at[labels, preds].add(valid)
         return (ce * valid).sum(), conf
+
+    def eval_step(params, images, labels, valid):
+        return eval_step_impl(params, frozen, images, labels, valid)
 
     return eval_step
