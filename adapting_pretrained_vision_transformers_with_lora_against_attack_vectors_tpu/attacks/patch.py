@@ -8,7 +8,8 @@ application at per-batch random scale U(0.1, 0.5)), re-designed TPU-first:
 * ART bounces torch<->numpy every batch and drives EOT sampling from Python
   (SURVEY.md §3.3 "HOT LOOP #4"). Here random rotation/scale/translation/
   brightness are drawn with ``jax.random`` *inside* the program, the patch
-  composite is a batched bilinear ``map_coordinates`` gather, and the full
+  composite is a gather-free bilinear resample (separable einsum
+  contractions on the MXU — see ``_composite_one``), and the full
   iteration budget is a ``lax.scan`` — patch training never leaves HBM.
 * Gradients flow only into the patch (a single (P, P, 3) tensor); the model
   is closed over, so any registry backbone / LoRA-adapted variant works.

@@ -50,6 +50,10 @@ class SwinConfig:
     # the raw fused-qkv projection, gathers compact bias/mask in-kernel, and
     # keeps the (49, 49) scores in VMEM. TPU only — XLA path elsewhere.
     use_fused_attention: bool = False
+    # Pallas fused MLP (kernels/mlp.py) for blocks whose weight pair fits
+    # the VMEM budget (stages 1-3 of Swin-B in bf16; stage 4's 1024x4096
+    # pair does not and falls back). TPU only.
+    use_fused_mlp: bool = False
 
     @property
     def num_stages(self) -> int:
@@ -261,8 +265,16 @@ def _block(cfg: SwinConfig, bp: dict, x: jax.Array, *, heads: int,
                              fused=cfg.use_fused_attention)
     x = x + attn
     h = layer_norm(bp["ln2"], x, eps=eps)
-    h = gelu(dense(bp["mlp"]["fc1"], h, compute_dtype=x.dtype))
-    return x + dense(bp["mlp"]["fc2"], h, compute_dtype=x.dtype)
+    fc1, fc2 = bp["mlp"]["fc1"], bp["mlp"]["fc2"]
+    if cfg.use_fused_mlp and "lora_a" not in fc1 and "lora_a" not in fc2:
+        from ..kernels.mlp import fits_vmem, fused_mlp
+
+        if (jax.default_backend() == "tpu"
+                and fits_vmem(fc1["w"].shape[0], fc1["w"].shape[1], x.dtype)):
+            return x + fused_mlp(h, fc1["w"], fc1["b"], fc2["w"],
+                                 fc2["b"]).astype(x.dtype)
+    h = gelu(dense(fc1, h, compute_dtype=x.dtype))
+    return x + dense(fc2, h, compute_dtype=x.dtype)
 
 
 def features(cfg: SwinConfig, params: dict, images: jax.Array) -> jax.Array:
