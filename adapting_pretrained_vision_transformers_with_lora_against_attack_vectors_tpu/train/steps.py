@@ -79,8 +79,8 @@ def make_train_step(
     if augment is not None and step_rng is None:
         raise ValueError("augment requires step_rng")
 
-    def loss_fn(trainable, frozen_tree, images, labels, valid, step):
-        rng = (jax.random.fold_in(step_rng, step)
+    def loss_fn(trainable, frozen_tree, rng_base, images, labels, valid, step):
+        rng = (jax.random.fold_in(rng_base, step)
                if step_rng is not None else None)
         if augment is not None:
             r_aug, rng = jax.random.split(rng)
@@ -95,9 +95,11 @@ def make_train_step(
         return loss, correct
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step_impl(state: TrainState, frozen_tree, images, labels, valid):
+    def train_step_impl(state: TrainState, frozen_tree, rng_base, images,
+                        labels, valid):
         (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen_tree, images, labels, valid, state.step)
+            state.params, frozen_tree, rng_base, images, labels, valid,
+            state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
@@ -109,7 +111,11 @@ def make_train_step(
         return new_state, metrics
 
     def train_step(state: TrainState, images, labels, valid):
-        return train_step_impl(state, frozen, images, labels, valid)
+        # frozen and step_rng ride through jit as ARGUMENTS: big frozen trees
+        # must not be embedded in the module (axon 413 — see docstring), and a
+        # closed-over rng key would change the program hash per run, forcing
+        # a full recompile for every adapter in a sweep.
+        return train_step_impl(state, frozen, step_rng, images, labels, valid)
 
     return train_step
 
