@@ -57,7 +57,18 @@ def uint8_quantize(images) -> np.ndarray:
     """[0,1] float -> uint8 with the reference's exact truncation semantics
     (``(img * 255).astype(np.uint8)``, Utils.py:106-113). Attacks evaluated
     downstream see images quantized to this grid, so parity evaluation must
-    reproduce it (SURVEY.md §2.4 item 6)."""
+    reproduce it (SURVEY.md §2.4 item 6).
+
+    Device arrays are fetched with checksum verification (utils/transfer):
+    the remote-TPU backend intermittently returns wrong bytes for a fetched
+    buffer, and an adversarial-image artifact written from a bad fetch would
+    silently poison every downstream stage."""
+    import jax
+
+    if isinstance(images, jax.Array):
+        from ..utils.transfer import verified_get
+
+        images = verified_get(images)
     arr = np.clip(np.asarray(images), 0.0, 1.0)
     return (arr * 255.0).astype(np.uint8)
 

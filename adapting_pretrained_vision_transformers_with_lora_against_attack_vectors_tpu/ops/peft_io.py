@@ -111,7 +111,14 @@ def save_peft_adapter(adapter: Mapping, cfg: LoRAConfig, out_dir: str, *,
     """
     from safetensors.numpy import save_file
 
+    from ..utils.transfer import verified_get
+
     os.makedirs(out_dir, exist_ok=True)
+    # checksum-verified fetch (utils/transfer.py): remote-TPU device_get can
+    # intermittently return wrong bytes; never persist an unverified tree.
+    adapter = verified_get(adapter)
+    if head is not None:
+        head = verified_get(head)
     tensors: dict[str, np.ndarray] = {}
     for path, fac in adapter.items():
         if path not in _PATH_TO_PEFT:

@@ -37,10 +37,16 @@ _BF16_TAG = "__bf16__"
 
 
 def _to_numpy_flat(tree) -> tuple[dict[str, np.ndarray], list[str]]:
+    from .transfer import verified_get
+
+    # checksum-verified fetch: the remote-TPU backend intermittently returns
+    # wrong bytes for a leaf (see utils/transfer.py) — a checkpoint must
+    # never trust an unverified device_get.
+    tree = verified_get(tree)
     flat = trees.flatten_with_paths(tree)
     out, bf16_paths = {}, []
     for path, leaf in flat.items():
-        arr = np.asarray(jax.device_get(leaf))
+        arr = np.asarray(leaf)
         if arr.dtype == jax.numpy.bfloat16:
             bf16_paths.append(path)
             arr = arr.view(np.uint16)
