@@ -160,6 +160,12 @@ def _attack_loaders_and_model(args):
         if not hasattr(cfg, "unroll_layers"):
             raise SystemExit(f"--unroll_layers unsupported for {args.model}")
         cfg = dataclasses.replace(cfg, unroll_layers=True)
+    if getattr(args, "fused_mlp", False):
+        import dataclasses
+
+        if not hasattr(cfg, "use_fused_mlp"):
+            raise SystemExit(f"--fused_mlp unsupported for {args.model}")
+        cfg = dataclasses.replace(cfg, use_fused_mlp=True)
     params = jax.device_put(params)
     normalize = Normalizer(*get_normalization(args.model))
     return entry, cfg, params, vocab, normalize
@@ -541,6 +547,9 @@ def build_parser() -> argparse.ArgumentParser:
                             help="Python-unroll encoder layers instead of "
                                  "lax.scan (no residual DUS traffic: ~1.5x "
                                  "PGD throughput on TPU; slower compile)")
+            sp.add_argument("--fused_mlp", action="store_true",
+                            help="Pallas fused MLP kernel (TPU; ViT/Swin; "
+                                 "hidden activation stays in VMEM)")
 
     sp = sub.add_parser("train", help="base fine-tune")
     _common_data_args(sp)

@@ -41,7 +41,8 @@ measured same-silicon pair in BASELINE.md ("Measured baseline" —
 bench_torch_reference.py: torch eager 0.127 vs this framework 0.101 imgs/s
 on this host's CPU, i.e. the baseline model is not a strawman).
 
-Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS, BENCH_VARIANT env vars.
+Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS, BENCH_VARIANT,
+BENCH_FUSED_MLP env vars.
 BENCH_VARIANT=attached attacks the unmerged LoRA-attached params (the
 train_loras-time configuration; extra rank-8 matmuls per dense) instead of
 the default merged form — functionally identical attack target; measured
@@ -76,8 +77,10 @@ def main() -> None:
     variant = os.environ.get("BENCH_VARIANT", "merged")
     n_chips = max(1, len(jax.devices()))
 
+    fused_mlp = os.environ.get("BENCH_FUSED_MLP", "1") == "1"
     cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
-                              use_fused_attention=True, unroll_layers=True)
+                              use_fused_attention=True, unroll_layers=True,
+                              use_fused_mlp=fused_mlp)
     lcfg = lora.LoRAConfig(rank=8, alpha=16.0, targets=vit.LORA_TARGETS_DEFAULT)
 
     # One jitted setup program (eager init would cost hundreds of per-op
