@@ -141,6 +141,10 @@ def save_peft_adapter(adapter: Mapping, cfg: LoRAConfig, out_dir: str, *,
         tensors["base_model.model.classifier.weight"] = np.ascontiguousarray(
             np.asarray(head["w"], np.float32).T)
         tensors["base_model.model.classifier.bias"] = np.asarray(head["b"], np.float32)
+    # C-contiguity before safetensors: it writes raw buffers assuming C
+    # order, silently transposing F-strided device_get results (see
+    # utils/checkpoint._atomic_save_file)
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
     save_file(tensors, os.path.join(out_dir, "adapter_model.safetensors"))
 
     config = {

@@ -55,6 +55,14 @@ def _to_numpy_flat(tree) -> tuple[dict[str, np.ndarray], list[str]]:
 
 
 def _atomic_save_file(tensors: dict[str, np.ndarray], path: str) -> None:
+    # CRITICAL: force C-contiguity. jax.device_get can return an ndarray
+    # whose device layout surfaces as transposed strides (F-contiguous view,
+    # e.g. a (768, 5) classifier head from a jitted program on TPU). Every
+    # numpy consumer honors strides — but safetensors serializes the raw
+    # buffer assuming C order, silently writing the TRANSPOSE. This
+    # corrupted saved classifier heads (clean acc 1.0 -> 0.17 after reload)
+    # until root-caused in round 2; tests/test_train.py pins it.
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")

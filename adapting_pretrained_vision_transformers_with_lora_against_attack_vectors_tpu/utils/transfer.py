@@ -10,11 +10,13 @@ that writes checkpoints and adversarial-image artifacts through this path
 must detect that, not trust it.
 
 ``verified_get`` computes an on-device integer checksum per leaf (values
-bitcast to unsigned words, summed with wraparound — reduction-ORDER-
-INDEPENDENT, so the host-side checksum over the fetched bytes is exactly
-comparable), fetches, compares, and refetches any mismatched leaf. A
-mismatch that persists after ``retries`` refetches raises — a loud failure
-instead of a silently-wrong artifact.
+bitcast to unsigned words, POSITION-WEIGHTED, wraparound-summed — addition
+commutes, so the host-side checksum over the fetched bytes is exactly
+comparable regardless of reduction order, while the position weights catch
+the observed corruption mode: an element-order PERMUTATION of the fetched
+data), fetches, compares, and refetches any mismatched leaf. A mismatch
+that persists after ``retries`` refetches raises — a loud failure instead
+of a silently-wrong artifact.
 
 Cost: one tiny jitted reduction per leaf per fetch (compiled once per tree
 structure) — noise next to the transfer itself.
@@ -32,7 +34,15 @@ _WORD = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint32}
 
 
 def _device_checksum_leaf(x: jax.Array) -> jax.Array:
-    """uint32 wraparound sum of the value's words (order-independent)."""
+    """Position-weighted uint32 wraparound sum: ``sum_i w_i * (i+1) mod 2^32``.
+
+    The weighting is essential: the observed corruption mode is a
+    tile-order PERMUTATION of the fetched elements (a narrow (768, 5)
+    classifier head came back value-preserving but element-scrambled), which
+    a plain sum cannot see. Products and the sum both wrap mod 2^32, so the
+    host-side computation below is exactly comparable regardless of
+    reduction order.
+    """
     if x.dtype == jnp.bool_:
         x = x.astype(jnp.uint8)
     itemsize = jnp.dtype(x.dtype).itemsize
@@ -41,7 +51,9 @@ def _device_checksum_leaf(x: jax.Array) -> jax.Array:
         w = jax.lax.bitcast_convert_type(x, jnp.uint32)
     else:
         w = jax.lax.bitcast_convert_type(x, _WORD[itemsize])
-    return jnp.sum(w.astype(jnp.uint32))  # uint32 add wraps mod 2^32
+    w = w.astype(jnp.uint32).reshape(-1)
+    idx = jax.lax.iota(jnp.uint32, w.shape[0]) + jnp.uint32(1)
+    return jnp.sum(w * idx)  # uint32 mul/add wrap mod 2^32
 
 
 @jax.jit
@@ -54,42 +66,74 @@ def _host_checksum_leaf(a: np.ndarray) -> int:
     if a.dtype == np.bool_:
         a = a.astype(np.uint8)
     word = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint32}[a.dtype.itemsize]
-    w = a.view(word if a.dtype.itemsize != 8 else np.uint32)
-    return int(w.astype(np.uint64).sum() & 0xFFFFFFFF)
+    w = a.view(word if a.dtype.itemsize != 8 else np.uint32).reshape(-1)
+    idx = np.arange(1, w.size + 1, dtype=np.uint64)
+    # truncate each product to uint32 (device multiplies wrap mod 2^32),
+    # then accumulate in uint64 (no overflow below 2^32 terms) and truncate
+    prods = (w.astype(np.uint64) * idx) & 0xFFFFFFFF
+    return int(prods.sum() & 0xFFFFFFFF)
 
 
 def verified_get(tree: Any, *, retries: int = 3) -> Any:
-    """``jax.device_get`` with per-leaf checksum verification + refetch.
+    """``jax.device_get`` with double-checksum verification + delayed retry.
+
+    The observed corruption is a transient *phase*: for a short window even
+    device-side reads of a buffer return permuted data, so a checksum
+    computed adjacent to the fetch can agree with an equally-wrong fetch.
+    Each leaf is therefore accepted only when THREE independent reads agree:
+    a device checksum before the fetch, the fetched bytes, and a second
+    device checksum executed after a temporal gap. On disagreement the whole
+    (checksum, fetch, checksum) round repeats after an increasing backoff —
+    the wrong phase has been observed to clear within seconds.
 
     Host-resident leaves (numpy arrays, scalars) pass through untouched.
     Raises ``RuntimeError`` if a leaf still mismatches after ``retries``
-    refetches.
+    delayed rounds.
     """
+    import time
+
     leaves, treedef = jax.tree.flatten(tree)
     device_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
     if not device_idx:
         return jax.device_get(tree)
 
     dev_leaves = [leaves[i] for i in device_idx]
-    want = [int(c) for c in jax.device_get(_device_checksums(dev_leaves))]
+    pending = list(range(len(dev_leaves)))  # indices into dev_leaves
+    good: dict[int, np.ndarray] = {}
+    for attempt in range(retries + 1):
+        subset = [dev_leaves[k] for k in pending]
+        pre = [int(c) for c in jax.device_get(_device_checksums(subset))]
+        host = [np.asarray(a) for a in jax.device_get(subset)]
+        # temporal gap before the confirming read: the wrong phase is
+        # transient, and an adjacent read can agree with a wrong fetch
+        time.sleep(0.2 * (attempt + 1))
+        post = [int(c) for c in jax.device_get(_device_checksums(subset))]
 
-    host = jax.device_get(dev_leaves)
+        still_bad = []
+        for j, k in enumerate(pending):
+            h = _host_checksum_leaf(host[j])
+            if h == pre[j] == post[j]:
+                good[k] = host[j]
+            else:
+                still_bad.append(k)
+        if not still_bad:
+            break
+        pending = still_bad
+        import warnings
+
+        shapes = [tuple(dev_leaves[k].shape) for k in pending]
+        warnings.warn(
+            f"device->host transfer checksum mismatch on {len(pending)} "
+            f"leaf/leaves {shapes}; retrying after backoff "
+            f"(attempt {attempt + 1})", stacklevel=2)
+    else:
+        shapes = [tuple(dev_leaves[k].shape) for k in pending]
+        raise RuntimeError(
+            f"device->host transfer corruption persisted after {retries} "
+            f"delayed retries (leaves {shapes}); refusing to write a "
+            f"corrupt artifact")
+
     out = list(leaves)
     for k, i in enumerate(device_idx):
-        a = np.asarray(host[k])
-        attempt = 0
-        while _host_checksum_leaf(a) != want[k]:
-            attempt += 1
-            if attempt > retries:
-                raise RuntimeError(
-                    f"device->host transfer corruption persisted after "
-                    f"{retries} refetches (leaf shape {a.shape}, dtype "
-                    f"{a.dtype}); refusing to write a corrupt artifact")
-            import warnings
-
-            warnings.warn("device->host transfer checksum mismatch; "
-                          f"refetching leaf (shape {a.shape}, attempt "
-                          f"{attempt})", stacklevel=2)
-            a = np.asarray(jax.device_get(dev_leaves[k]))
-        out[i] = a
+        out[i] = good[k]
     return jax.tree.unflatten(treedef, out)

@@ -41,6 +41,20 @@ def test_host_and_device_checksums_agree():
         assert dev == host, (shape, dtype)
 
 
+def test_checksum_detects_permutation():
+    """The observed axon corruption preserves values but scrambles element
+    order — the position-weighted checksum must catch that (a plain sum
+    cannot)."""
+    a = np.arange(1, 3841, dtype=np.float32).reshape(768, 5)
+    perm = a.reshape(-1)[::-1].reshape(768, 5).copy()
+    assert transfer._host_checksum_leaf(a) != transfer._host_checksum_leaf(perm)
+    # tile-order scramble (swap 128-element blocks), values preserved
+    b = a.reshape(-1).copy()
+    b[:128], b[128:256] = a.reshape(-1)[128:256], a.reshape(-1)[:128]
+    assert transfer._host_checksum_leaf(a) != transfer._host_checksum_leaf(
+        b.reshape(768, 5))
+
+
 def test_verified_get_retries_on_corruption(monkeypatch):
     """A corrupted first fetch must be detected and refetched."""
     x = jnp.arange(8.0)
@@ -87,3 +101,20 @@ def test_verified_get_raises_on_persistent_corruption(monkeypatch):
     with pytest.raises(RuntimeError, match="corruption persisted"), \
             pytest.warns(UserWarning):
         transfer.verified_get({"x": x}, retries=2)
+
+
+def test_save_pytree_preserves_f_contiguous_arrays(tmp_path):
+    """Regression: jax.device_get can return F-contiguous (transposed-stride)
+    views of device buffers; safetensors writes raw buffers assuming C order,
+    which silently transposed such leaves (a (768, 5) classifier head) until
+    the writer forced contiguity. Reproduces the stride pattern on CPU."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import checkpoint as ckpt
+
+    c = np.arange(20, dtype=np.float32).reshape(4, 5)
+    f = np.asfortranarray(c)
+    assert f.flags["F_CONTIGUOUS"] and not f.flags["C_CONTIGUOUS"]
+    tree = {"head": {"w": f, "b": np.ones(5, np.float32)}}
+    p = str(tmp_path / "m.safetensors")
+    ckpt.save_pytree(tree, p)
+    re, _ = ckpt.load_pytree(p)
+    np.testing.assert_array_equal(re["head"]["w"], c)
