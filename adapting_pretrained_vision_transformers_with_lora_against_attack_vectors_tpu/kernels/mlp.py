@@ -35,15 +35,30 @@ from jax.experimental.pallas import tpu as pltpu
 _SQRT_HALF = 0.7071067811865476
 
 
-def _gelu_f32(pre: jax.Array) -> jax.Array:
+def _erf_poly(x: jax.Array) -> jax.Array:
+    """Abramowitz-Stegun 7.1.26 erf approximation (|err| <= 1.5e-7, f32).
+
+    Mosaic has no erf lowering (NotImplementedError on real TPU even though
+    interpret mode accepts it), so the kernels use this polynomial; exp IS
+    lowerable. The XLA-side reference/VJP paths keep jax.lax.erf.
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_f32(pre: jax.Array, *, erf=jax.lax.erf) -> jax.Array:
     """Exact GELU on f32 (jax.nn.gelu(approximate=False) numerics)."""
-    return 0.5 * pre * (1.0 + jax.lax.erf(pre * _SQRT_HALF))
+    return 0.5 * pre * (1.0 + erf(pre * _SQRT_HALF))
 
 
-def _gelu_grad_f32(pre: jax.Array) -> jax.Array:
+def _gelu_grad_f32(pre: jax.Array, *, erf=jax.lax.erf) -> jax.Array:
     """d/dx [x * Phi(x)] = Phi(x) + x * phi(x)."""
     phi = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327  # N(0,1) pdf
-    cdf = 0.5 * (1.0 + jax.lax.erf(pre * _SQRT_HALF))
+    cdf = 0.5 * (1.0 + erf(pre * _SQRT_HALF))
     return cdf + pre * phi
 
 
@@ -51,7 +66,7 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[...]  # (RB, D)
     pre = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     pre = pre + b1_ref[...].astype(jnp.float32)
-    h = _gelu_f32(pre).astype(x.dtype)
+    h = _gelu_f32(pre, erf=_erf_poly).astype(x.dtype)
     y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     y = y + b2_ref[...].astype(jnp.float32)
     o_ref[...] = y.astype(o_ref.dtype)
@@ -65,7 +80,7 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref, dx_ref):
     # dh = dy @ W2^T ; dpre = dh * gelu'(pre) ; dx = dpre @ W1^T
     dh = jax.lax.dot_general(dy, w2_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dpre = (dh * _gelu_grad_f32(pre)).astype(x.dtype)
+    dpre = (dh * _gelu_grad_f32(pre, erf=_erf_poly)).astype(x.dtype)
     dx = jax.lax.dot_general(dpre, w1_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dx_ref[...] = dx.astype(dx_ref.dtype)
@@ -112,7 +127,7 @@ def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     return _fwd_impl(x, w1, b1, w2, b2)
 
 
-_RB_FWD = 256
+_RB_FWD = 128
 _RB_BWD = 128
 
 
@@ -167,16 +182,19 @@ def _bwd_rule(res, g):
 fused_mlp.defvjp(_fwd_rule, _bwd_rule)
 
 
-# Weights must fit VMEM alongside a token block: W1+W2 plus blocks within
-# ~16 MB. bf16 ViT-B (768x3072 both ways = 9.4 MB) fits; f32 does not.
+# Weights must fit VMEM alongside a token block: W1+W2 plus the larger of
+# the forward/backward per-block working sets within ~16 MB. bf16 ViT-B
+# (768x3072 both ways = 9.4 MB weights + ~2.8 MB blocks at RB=128) fits;
+# f32 does not.
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
 def fits_vmem(d: int, m: int, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     weights = 2 * d * m * itemsize
-    blocks = _RB_FWD * (d * 2 + m * 4) + _RB_BWD * m * 8
-    return weights + blocks <= _VMEM_BUDGET_BYTES
+    fwd = _RB_FWD * (2 * d * itemsize + m * 4 + m * itemsize)
+    bwd = _RB_BWD * (3 * d * itemsize + 2 * m * 4 + m * itemsize)
+    return weights + max(fwd, bwd) <= _VMEM_BUDGET_BYTES
 
 
 def mlp_reference(x, w1, b1, w2, b2):

@@ -39,87 +39,104 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _split_heads(qkv, heads):
+    """(GW, Np, 3C) -> q, k, v each (heads*GW, Np, hd) — ONE batched-dot
+    operand per tensor instead of a per-head Python loop of tiny dots.
+
+    Built from per-head SLICES stacked on a new leading axis (Mosaic cannot
+    reshape the minor/lane dimension, so qkv.reshape(..., 3, heads, hd) does
+    not lower; slicing the channel axis does)."""
+    gw, np_, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+
+    def gather(base):
+        parts = [qkv[:, :, base + h * hd: base + (h + 1) * hd]
+                 for h in range(heads)]
+        return jnp.concatenate([pt[None] for pt in parts], axis=0).reshape(
+            heads * gw, np_, hd)
+
+    return gather(0), gather(c), gather(2 * c), hd
+
+
+def _probs(qkv, bias_ref, mask_ref, *, heads, n_real, scale):
+    """All-heads batched probabilities: (heads*GW, Np, Np) f32 + q,k,v."""
+    gw, np_, _ = qkv.shape
+    q, k, v, hd = _split_heads(qkv, heads)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    bias = bias_ref[...].astype(jnp.float32)  # (heads, Np, Np)
+    s = s + jnp.repeat(bias, gw, axis=0)
+    shift = mask_ref[...].astype(jnp.float32)  # (GW, Np, Np)
+    s = s + jnp.tile(shift, (heads, 1, 1))
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
+    s = s + jnp.where(key_ids < n_real, 0.0, -1e30)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=-1, keepdims=True), q, k, v, hd
+
+
+def _merge_heads(o, heads, gw, np_, hd):
+    """(heads*GW, Np, hd) -> (GW, Np, heads*hd) via per-head concatenation
+    on the channel axis (minor-dim reshape is not lowerable)."""
+    x = o.reshape(heads, gw, np_, hd)
+    return jnp.concatenate([x[h] for h in range(heads)], axis=-1)
+
+
 def _fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, heads: int,
                 n_real: int, scale: float):
     qkv = qkv_ref[0]  # (GW, Np, 3C)
-    gw, np_, c3 = qkv.shape
-    c = c3 // 3
-    hd = c // heads
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
-    pad_mask = jnp.where(key_ids < n_real, 0.0, -1e30)  # (1,1,Np) f32
-    shift_mask = mask_ref[...].astype(jnp.float32)  # (GW, Np, Np)
-
-    for h in range(heads):
-        q = qkv[:, :, h * hd:(h + 1) * hd]
-        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
-        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[h][None].astype(jnp.float32)
-        s = s + shift_mask + pad_mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(p.astype(v.dtype), v,
-                                (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        o_ref[0, :, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+    gw, np_, _ = qkv.shape
+    p, q, k, v, hd = _probs(qkv, bias_ref, mask_ref, heads=heads,
+                            n_real=n_real, scale=scale)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = _merge_heads(o.astype(o_ref.dtype), heads, gw, np_, hd)
 
 
-def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, dbias_ref, *,
+def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, *,
                 heads: int, n_real: int, scale: float):
+    """dqkv only. The bias-table gradient is computed by the VJP rule in
+    plain XLA (recomputed probs) so the attack path — grad wrt images only —
+    dead-code-eliminates it entirely; the previous in-kernel grid-resident
+    accumulation charged every caller for it."""
     qkv = qkv_ref[0]
-    do_full = do_ref[0]  # (GW, Np, C)
     gw, np_, c3 = qkv.shape
-    c = c3 // 3
-    hd = c // heads
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
-    pad_mask = jnp.where(key_ids < n_real, 0.0, -1e30)
-    shift_mask = mask_ref[...].astype(jnp.float32)
+    p, q, k, v, hd = _probs(qkv, bias_ref, mask_ref, heads=heads,
+                            n_real=n_real, scale=scale)
+    do = _split_do(do_ref[0], heads, hd)  # (heads*GW, Np, hd)
 
-    # dbias accumulates across the whole grid: its block index is constant,
-    # so the buffer stays resident; zero it on the first program only.
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
-    def _init():
-        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+    p_lp = p.astype(v.dtype)
+    dv = jax.lax.dot_general(p_lp, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds_u = p * (dp - row)  # dL/ds (bias/mask enter s additively)
+    ds_lp = (ds_u * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(ds_lp, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
 
-    for h in range(heads):
-        q = qkv[:, :, h * hd:(h + 1) * hd]
-        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
-        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        do = do_full[:, :, h * hd:(h + 1) * hd]
-
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[h][None].astype(jnp.float32) + shift_mask + pad_mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-
-        p_lp = p.astype(v.dtype)
-        dv = jax.lax.dot_general(p_lp, do, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        row = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds_u = p * (dp - row)  # dL/ds (bias/mask enter s additively)
-        ds_lp = (ds_u * scale).astype(q.dtype)
-        dq = jax.lax.dot_general(ds_lp, k, (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-
-        dqkv_ref[0, :, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, :, c + h * hd:c + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, :, 2 * c + h * hd:2 * c + (h + 1) * hd] = \
-            dv.astype(dqkv_ref.dtype)
-        # d(bias)_h = sum over batch and windows of dL/ds
-        dbias_ref[h] += jnp.sum(ds_u, axis=0)
+    dqkv_ref[0] = jnp.concatenate(
+        [_merge_heads(t, heads, gw, np_, hd) for t in (dq, dk, dv)],
+        axis=-1).astype(dqkv_ref.dtype)
 
 
-def _pick_gw(n_windows: int) -> int:
-    for cand in (8, 4, 2, 1):
-        if n_windows % cand == 0:
+def _split_do(do_full, heads, hd):
+    gw, np_, c = do_full.shape
+    parts = [do_full[:, :, h * hd:(h + 1) * hd] for h in range(heads)]
+    return jnp.concatenate([pt[None] for pt in parts], axis=0).reshape(
+        heads * gw, np_, hd)
+
+
+def _pick_gw(n_windows: int, heads: int) -> int:
+    # One program holds heads*gw batched (Np, Np) f32 score/probability
+    # buffers in both passes; cap heads*gw so the backward's working set
+    # stays inside the ~16 MB VMEM budget across all Swin stages.
+    for cand in (32, 16, 8, 4, 2, 1):
+        if n_windows % cand == 0 and heads * cand <= 64:
             return cand
     return 1
 
@@ -133,7 +150,7 @@ def _pad_tokens(x: jax.Array, n_pad: int) -> jax.Array:
 
 def _specs(qkv, bias, mask, heads):
     b, nw, n_pad, _ = qkv.shape
-    gw = _pick_gw(nw)
+    gw = _pick_gw(nw, heads)
     grid = (b, nw // gw)
     qkv_spec = pl.BlockSpec((1, gw, n_pad, qkv.shape[-1]),
                             lambda i, j: (i, j, 0, 0),
@@ -169,16 +186,13 @@ def _call_bwd(qkv, bias, mask, do, *, heads: int, n_real: int, scale: float):
     c = c3 // 3
     grid, in_specs, map_spec = _specs(qkv, bias, mask, heads)
     in_specs.append(map_spec(c))  # do (cotangent) shares the output layout
-    dbias_spec = pl.BlockSpec((heads, n_pad, n_pad), lambda i, j: (0, 0, 0),
-                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, n_real=n_real,
                           scale=scale),
-        out_shape=(jax.ShapeDtypeStruct((b, nw, n_pad, c3), qkv.dtype),
-                   jax.ShapeDtypeStruct((heads, n_pad, n_pad), jnp.float32)),
+        out_shape=jax.ShapeDtypeStruct((b, nw, n_pad, c3), qkv.dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(map_spec(c3), dbias_spec),
+        out_specs=map_spec(c3),
     )(qkv, bias, mask, do)
 
 
@@ -192,9 +206,10 @@ def fused_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
     ``bias``: (heads, n, n) relative-position bias (table already gathered
     through the static rel-index — compact, not broadcast).
     ``mask``: (nW, n, n) additive shift mask (zeros for unshifted blocks).
-    Returns (B, nW, n, C). Gradients flow to ``qkv`` and ``bias`` (the bias
-    table is a trainable parameter; its gradient accumulates across the grid
-    in a resident VMEM block); the shift mask is a constant (zero grad).
+    Returns (B, nW, n, C). Gradients flow to ``qkv`` (Pallas backward
+    kernel) and ``bias`` (XLA recompute in the VJP rule — DCE'd entirely on
+    the attack path, where only image gradients are consumed); the shift
+    mask is a constant (zero grad).
     """
     return _fwd_impl(qkv, bias, mask, heads)
 
@@ -227,12 +242,36 @@ def _bwd_rule(heads, res, g):
     c = qkv.shape[-1] // 3
     scale = (c // heads) ** -0.5
     g_p = _pad_tokens(g, n_pad)
-    dqkv, dbias = _call_bwd(qkv_p, bias_p, mask_p, g_p, heads=heads,
-                            n_real=n, scale=scale)
+    dqkv = _call_bwd(qkv_p, bias_p, mask_p, g_p, heads=heads,
+                     n_real=n, scale=scale)
     n_real = qkv.shape[2]
-    return (dqkv[:, :, :n_real, :],
-            dbias[:, :n_real, :n_real].astype(bias.dtype),
-            jnp.zeros_like(mask))
+    dbias = _dbias_xla(qkv, bias, mask, g, heads, scale)
+    return dqkv[:, :, :n_real, :], dbias, jnp.zeros_like(mask)
+
+
+def _dbias_xla(qkv, bias, mask, g, heads, scale):
+    """Bias-table gradient via XLA recompute (train path only; the attack
+    path consumes no bias cotangent, so XLA dead-code-eliminates this)."""
+    b, nw, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    x = qkv.reshape(b, nw, n, 3, heads, hd)
+    q = x[..., 0, :, :].transpose(0, 1, 3, 2, 4)  # (B, nW, h, n, hd)
+    k = x[..., 1, :, :].transpose(0, 1, 3, 2, 4)
+    v = x[..., 2, :, :].transpose(0, 1, 3, 2, 4)
+    s = jnp.einsum("bwhqd,bwhkd->bwhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = s + bias[None, None].astype(jnp.float32)
+    s = s + mask[None, :, None].astype(jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    do = g.reshape(b, nw, n, heads, hd).transpose(0, 1, 3, 2, 4)
+    dp = jnp.einsum("bwhqd,bwhkd->bwhqk", do.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - row)
+    return jnp.sum(ds, axis=(0, 1)).astype(bias.dtype)
 
 
 fused_window_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -33,7 +33,8 @@ def bench_one(name: str, batch: int, steps: int, iters: int,
               fused: bool) -> float:
     entry = registry.get_model(name)
     cfg = entry.config(21)
-    for flag, val in (("unroll_layers", True), ("use_fused_attention", fused)):
+    for flag, val in (("unroll_layers", True), ("use_fused_attention", fused),
+                      ("use_fused_mlp", fused)):
         if hasattr(cfg, flag):
             cfg = dataclasses.replace(cfg, **{flag: val})
 
