@@ -77,7 +77,7 @@ def main() -> None:
     variant = os.environ.get("BENCH_VARIANT", "merged")
     n_chips = max(1, len(jax.devices()))
 
-    fused_mlp = os.environ.get("BENCH_FUSED_MLP", "1") == "1"
+    fused_mlp = os.environ.get("BENCH_FUSED_MLP", "0") == "1"
     cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
                               use_fused_attention=True, unroll_layers=True,
                               use_fused_mlp=fused_mlp)

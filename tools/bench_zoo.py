@@ -33,8 +33,10 @@ def bench_one(name: str, batch: int, steps: int, iters: int,
               fused: bool) -> float:
     entry = registry.get_model(name)
     cfg = entry.config(21)
-    for flag, val in (("unroll_layers", True), ("use_fused_attention", fused),
-                      ("use_fused_mlp", fused)):
+    # fused MLP measured performance-neutral-to-slightly-negative (the MLP
+    # is compute-bound; XLA pipelines the two big matmuls better than the
+    # RB-blocked kernel) — not enabled by default here or in bench.py.
+    for flag, val in (("unroll_layers", True), ("use_fused_attention", fused)):
         if hasattr(cfg, flag):
             cfg = dataclasses.replace(cfg, **{flag: val})
 
