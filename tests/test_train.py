@@ -164,3 +164,46 @@ def test_resume_preserves_best_checkpoint(tmp_path):
                                log=lambda s: None)
     # the carried best can only improve or stay — never regress
     assert s2["best_val_accuracy"] >= first_best - 1e-9
+
+
+def test_saved_checkpoint_reproduces_in_memory_logits(tmp_path):
+    """The saved best checkpoint must produce bitwise-identical logits to
+    the in-memory tree it was saved from. Round-2 regression: F-strided
+    device_get views were serialized raw by safetensors, silently
+    transposing the classifier head — training metrics looked perfect while
+    every downstream stage loaded a broken model."""
+    import os
+
+    import jax
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data import synthetic
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import Loader, MetadataIndex
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import loop
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import checkpoint as ckpt
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+
+    root = str(tmp_path)
+    synthetic.make_synthetic_dataset(root + "/d", n_per_class=4, image_size=32)
+    vocab = LabelVocabulary.from_classes(synthetic.DEFAULT_CLASSES)
+    entry = registry.get_model("vit_test")
+    cfg = entry.config(len(vocab))
+    params = entry.init(jax.random.key(0), cfg)
+    mk = lambda s: Loader(MetadataIndex(f"{root}/d/{s}/metadata.csv", vocab),
+                          batch_size=10, image_size=32, resize=32)
+    out = root + "/out"
+    loop.train_base_model(entry, params, mk("train"), mk("val"), None, vocab,
+                          out_dir=out, epochs=1, log=lambda s: None)
+
+    best_path = os.path.join(out, "vit_test_best_model_finetuned.safetensors")
+    reloaded, _ = ckpt.load_pytree(best_path)
+    resume_best, _ = ckpt.load_pytree(os.path.join(out, "resume.best.safetensors"))
+
+    x = jax.random.uniform(jax.random.key(5), (4, 32, 32, 3))
+    l_reload = np.asarray(entry.apply(cfg, jax.device_put(reloaded), x))
+    l_resume = np.asarray(entry.apply(cfg, jax.device_put(resume_best), x))
+    # two independent save paths of the same epoch's params must agree and
+    # reproduce identical predictions
+    np.testing.assert_array_equal(l_reload, l_resume)
+    for a, b in zip(jax.tree.leaves(reloaded), jax.tree.leaves(resume_best)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
