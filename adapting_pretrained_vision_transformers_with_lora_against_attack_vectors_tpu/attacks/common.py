@@ -59,10 +59,9 @@ def uint8_quantize(images) -> np.ndarray:
     downstream see images quantized to this grid, so parity evaluation must
     reproduce it (SURVEY.md §2.4 item 6).
 
-    Device arrays are fetched with checksum verification (utils/transfer):
-    the remote-TPU backend intermittently returns wrong bytes for a fetched
-    buffer, and an adversarial-image artifact written from a bad fetch would
-    silently poison every downstream stage."""
+    Device arrays are fetched with checksum verification (utils/transfer,
+    defense-in-depth): an adversarial-image artifact written from a bad
+    fetch would silently poison every downstream stage."""
     import jax
 
     if isinstance(images, jax.Array):

@@ -54,7 +54,12 @@ def generate_adversarial_split(
 
     with ThreadPoolExecutor(max_workers=8) as pool:  # one pool per split
         def flush(adv, valid, names):
-            adv_np = np.asarray(jax.device_get(adv))
+            # checksum-verified fetch (utils/transfer): this is THE
+            # adversarial-artifact write path — a corrupted fetch here would
+            # silently poison every downstream training/eval stage
+            from ..utils.transfer import verified_get
+
+            adv_np = np.asarray(verified_get(adv))
             keep = [i for i, v in enumerate(valid) if v > 0]
             data_io.save_images(adv_np[keep], [names[i] for i in keep],
                                 img_dir, pool=pool)

@@ -6,4 +6,9 @@ Kernels are opt-in per model config and always have an XLA-composed
 reference implementation to fall back to (and to test against).
 """
 
-from .attention import fused_attention  # noqa: F401
+def round_up(x: int, m: int) -> int:
+    """Smallest multiple of ``m`` >= ``x`` (shared tile-padding helper)."""
+    return ((x + m - 1) // m) * m
+
+
+from .attention import fused_attention  # noqa: E402,F401

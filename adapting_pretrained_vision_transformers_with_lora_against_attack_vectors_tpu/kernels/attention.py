@@ -30,9 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from . import round_up
 
 
 # Heads per grid program: amortizes per-program overhead with batched
@@ -136,7 +134,7 @@ def _attention_call(kernel, out_shapes, inputs, n_real: int, scale: float):
 def _attention_fwd_impl(q, k, v):
     b, h, n, d = q.shape
     scale = d ** -0.5
-    n_pad = _round_up(n, 128)
+    n_pad = round_up(n, 128)
     qp, kp, vp = (_pad_seq(x, n_pad) for x in (q, k, v))
     o = _attention_call(
         _fwd_kernel,
@@ -153,7 +151,7 @@ def _bwd_rule(res, g):
     q, k, v = res
     b, h, n, d = q.shape
     scale = d ** -0.5
-    n_pad = _round_up(n, 128)
+    n_pad = round_up(n, 128)
     qp, kp, vp, gp = (_pad_seq(x, n_pad) for x in (q, k, v, g))
     shapes = tuple(jax.ShapeDtypeStruct((b * h, n_pad, d), t.dtype)
                    for t in (q, k, v))

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import round_up
+
 _SQRT_HALF = 0.7071067811865476
 
 
@@ -131,15 +133,11 @@ _RB_FWD = 128
 _RB_BWD = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _fwd_impl(x, w1, b1, w2, b2):
     lead = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
-    t_pad = _round_up(x2.shape[0], _RB_FWD)
+    t_pad = round_up(x2.shape[0], _RB_FWD)
     y = _call(_pad_rows(x2, t_pad), None, w1.astype(x.dtype),
               b1.reshape(1, -1).astype(x.dtype), w2.astype(x.dtype),
               b2.reshape(1, -1).astype(x.dtype), _RB_FWD)
@@ -156,7 +154,7 @@ def _bwd_rule(res, g):
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
     g2 = g.reshape(-1, d)
-    t_pad = _round_up(x2.shape[0], _RB_BWD)
+    t_pad = round_up(x2.shape[0], _RB_BWD)
     dx = _call(_pad_rows(x2, t_pad), _pad_rows(g2, t_pad), w1.astype(x.dtype),
                b1.reshape(1, -1).astype(x.dtype), w2.astype(x.dtype), None,
                _RB_BWD)

@@ -34,29 +34,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import round_up
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+
+def _head_major(x, heads, hd, base=0):
+    """Stack per-head channel SLICES of ``x`` (GW, Np, C...) onto a new
+    leading axis -> (heads*GW, Np, hd). Mosaic cannot reshape the minor/lane
+    dimension, so x.reshape(..., heads, hd) does not lower; slicing the
+    channel axis does."""
+    gw, np_, _ = x.shape
+    parts = [x[:, :, base + h * hd: base + (h + 1) * hd]
+             for h in range(heads)]
+    return jnp.concatenate([pt[None] for pt in parts], axis=0).reshape(
+        heads * gw, np_, hd)
 
 
 def _split_heads(qkv, heads):
     """(GW, Np, 3C) -> q, k, v each (heads*GW, Np, hd) — ONE batched-dot
-    operand per tensor instead of a per-head Python loop of tiny dots.
-
-    Built from per-head SLICES stacked on a new leading axis (Mosaic cannot
-    reshape the minor/lane dimension, so qkv.reshape(..., 3, heads, hd) does
-    not lower; slicing the channel axis does)."""
-    gw, np_, c3 = qkv.shape
-    c = c3 // 3
+    operand per tensor instead of a per-head Python loop of tiny dots."""
+    c = qkv.shape[2] // 3
     hd = c // heads
-
-    def gather(base):
-        parts = [qkv[:, :, base + h * hd: base + (h + 1) * hd]
-                 for h in range(heads)]
-        return jnp.concatenate([pt[None] for pt in parts], axis=0).reshape(
-            heads * gw, np_, hd)
-
-    return gather(0), gather(c), gather(2 * c), hd
+    return (_head_major(qkv, heads, hd, 0), _head_major(qkv, heads, hd, c),
+            _head_major(qkv, heads, hd, 2 * c), hd)
 
 
 def _probs(qkv, bias_ref, mask_ref, *, heads, n_real, scale):
@@ -125,10 +124,7 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, *,
 
 
 def _split_do(do_full, heads, hd):
-    gw, np_, c = do_full.shape
-    parts = [do_full[:, :, h * hd:(h + 1) * hd] for h in range(heads)]
-    return jnp.concatenate([pt[None] for pt in parts], axis=0).reshape(
-        heads * gw, np_, hd)
+    return _head_major(do_full, heads, hd)
 
 
 def _pick_gw(n_windows: int, heads: int) -> int:
@@ -216,7 +212,7 @@ def fused_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
 
 def _prep(qkv, bias, mask):
     n = qkv.shape[2]
-    n_pad = _round_up(n, 64)
+    n_pad = round_up(n, 64)
     qkv_p = _pad_tokens(qkv, n_pad)
     pad2 = ((0, 0), (0, n_pad - n), (0, n_pad - n))
     bias_p = jnp.pad(bias, pad2) if n != n_pad else bias

@@ -135,11 +135,11 @@ def save_peft_adapter(adapter: Mapping, cfg: LoRAConfig, out_dir: str, *,
         for i in range(a.shape[0]):
             mod = tmpl.format(i=i)
             # torch convention: lora_A (r, in), lora_B (out, r)
-            tensors[f"base_model.model.{mod}.lora_A.weight"] = np.ascontiguousarray(a[i].T)
-            tensors[f"base_model.model.{mod}.lora_B.weight"] = np.ascontiguousarray(b[i].T)
+            tensors[f"base_model.model.{mod}.lora_A.weight"] = a[i].T
+            tensors[f"base_model.model.{mod}.lora_B.weight"] = b[i].T
     if head is not None:
-        tensors["base_model.model.classifier.weight"] = np.ascontiguousarray(
-            np.asarray(head["w"], np.float32).T)
+        tensors["base_model.model.classifier.weight"] = np.asarray(
+            head["w"], np.float32).T
         tensors["base_model.model.classifier.bias"] = np.asarray(head["b"], np.float32)
     # C-contiguity before safetensors: it writes raw buffers assuming C
     # order, silently transposing F-strided device_get results (see

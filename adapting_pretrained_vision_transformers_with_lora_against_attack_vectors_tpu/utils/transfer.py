@@ -1,25 +1,24 @@
 """Checksum-verified device->host transfers.
 
-On a remote-TPU backend (axon tunnel) ``device_get`` was observed to
-*intermittently* return wrong bytes for a leaf of a large pytree — a ViT-B
-checkpoint fetched right after a long compile+execute round saved a
-corrupted classifier head while every later fetch of the same buffer was
-correct (round-2 investigation; the corrupted checkpoint silently dropped
-clean accuracy from 1.0 to 0.17 in every downstream stage). A framework
-that writes checkpoints and adversarial-image artifacts through this path
-must detect that, not trust it.
+Round-2 debugging of a corrupted-checkpoint incident produced two lessons:
+
+1. The actual root cause was host-side — ``jax.device_get`` can return an
+   ndarray with TRANSPOSED STRIDES (F-contiguous view) that safetensors
+   then serializes raw, writing the transpose (fixed at the writers with
+   ``np.ascontiguousarray``; see ``utils/checkpoint._atomic_save_file``).
+2. Every artifact writer nevertheless goes through ``verified_get`` as
+   defense-in-depth: the remote-TPU tunnel is a long, stateful transport,
+   and a silently-wrong artifact costs a full pipeline re-run (attacks,
+   adapters, eval all consume the bytes downstream).
 
 ``verified_get`` computes an on-device integer checksum per leaf (values
-bitcast to unsigned words, POSITION-WEIGHTED, wraparound-summed — addition
-commutes, so the host-side checksum over the fetched bytes is exactly
-comparable regardless of reduction order, while the position weights catch
-the observed corruption mode: an element-order PERMUTATION of the fetched
-data), fetches, compares, and refetches any mismatched leaf. A mismatch
-that persists after ``retries`` refetches raises — a loud failure instead
-of a silently-wrong artifact.
-
-Cost: one tiny jitted reduction per leaf per fetch (compiled once per tree
-structure) — noise next to the transfer itself.
+bitcast to unsigned words, POSITION-WEIGHTED so element-order permutations
+are caught, wraparound-summed so the host-side checksum over the fetched
+bytes — strides honored — is exactly comparable regardless of reduction
+order), fetches, and compares. The fast path costs one tiny jitted
+reduction per tree (compiled once per structure). Only on a mismatch does
+it enter delayed retry rounds, re-reading both sides with backoff; a
+mismatch that persists raises instead of writing a corrupt artifact.
 """
 
 from __future__ import annotations
@@ -36,12 +35,10 @@ _WORD = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint32}
 def _device_checksum_leaf(x: jax.Array) -> jax.Array:
     """Position-weighted uint32 wraparound sum: ``sum_i w_i * (i+1) mod 2^32``.
 
-    The weighting is essential: the observed corruption mode is a
-    tile-order PERMUTATION of the fetched elements (a narrow (768, 5)
-    classifier head came back value-preserving but element-scrambled), which
-    a plain sum cannot see. Products and the sum both wrap mod 2^32, so the
-    host-side computation below is exactly comparable regardless of
-    reduction order.
+    The weighting makes the checksum sensitive to element ORDER, not just
+    the value multiset; products and the sum both wrap mod 2^32 (dtype
+    pinned — uint32 would otherwise promote under jax_enable_x64), so the
+    host computation below is exactly comparable.
     """
     if x.dtype == jnp.bool_:
         x = x.astype(jnp.uint8)
@@ -53,7 +50,7 @@ def _device_checksum_leaf(x: jax.Array) -> jax.Array:
         w = jax.lax.bitcast_convert_type(x, _WORD[itemsize])
     w = w.astype(jnp.uint32).reshape(-1)
     idx = jax.lax.iota(jnp.uint32, w.shape[0]) + jnp.uint32(1)
-    return jnp.sum(w * idx)  # uint32 mul/add wrap mod 2^32
+    return jnp.sum(w * idx, dtype=jnp.uint32)  # wraps mod 2^32
 
 
 @jax.jit
@@ -75,23 +72,17 @@ def _host_checksum_leaf(a: np.ndarray) -> int:
 
 
 def verified_get(tree: Any, *, retries: int = 3) -> Any:
-    """``jax.device_get`` with double-checksum verification + delayed retry.
+    """``jax.device_get`` with per-leaf checksum verification.
 
-    The observed corruption is a transient *phase*: for a short window even
-    device-side reads of a buffer return permuted data, so a checksum
-    computed adjacent to the fetch can agree with an equally-wrong fetch.
-    Each leaf is therefore accepted only when THREE independent reads agree:
-    a device checksum before the fetch, the fetched bytes, and a second
-    device checksum executed after a temporal gap. On disagreement the whole
-    (checksum, fetch, checksum) round repeats after an increasing backoff —
-    the wrong phase has been observed to clear within seconds.
+    Fast path: one device-checksum program + the fetch; leaves whose host
+    checksum matches are accepted immediately (no sleeps, no extra reads).
+    On mismatch, the (checksum, fetch) round repeats for the failing leaves
+    with an increasing backoff; a leaf that still disagrees after
+    ``retries`` delayed rounds raises ``RuntimeError`` — a loud failure
+    instead of a silently-wrong artifact.
 
     Host-resident leaves (numpy arrays, scalars) pass through untouched.
-    Raises ``RuntimeError`` if a leaf still mismatches after ``retries``
-    delayed rounds.
     """
-    import time
-
     leaves, treedef = jax.tree.flatten(tree)
     device_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
     if not device_idx:
@@ -101,18 +92,16 @@ def verified_get(tree: Any, *, retries: int = 3) -> Any:
     pending = list(range(len(dev_leaves)))  # indices into dev_leaves
     good: dict[int, np.ndarray] = {}
     for attempt in range(retries + 1):
-        subset = [dev_leaves[k] for k in pending]
-        pre = [int(c) for c in jax.device_get(_device_checksums(subset))]
-        host = [np.asarray(a) for a in jax.device_get(subset)]
-        # temporal gap before the confirming read: the wrong phase is
-        # transient, and an adjacent read can agree with a wrong fetch
-        time.sleep(0.2 * (attempt + 1))
-        post = [int(c) for c in jax.device_get(_device_checksums(subset))]
+        if attempt:
+            import time
 
+            time.sleep(0.2 * attempt)
+        subset = [dev_leaves[k] for k in pending]
+        want = [int(c) for c in jax.device_get(_device_checksums(subset))]
+        host = [np.asarray(a) for a in jax.device_get(subset)]
         still_bad = []
         for j, k in enumerate(pending):
-            h = _host_checksum_leaf(host[j])
-            if h == pre[j] == post[j]:
+            if _host_checksum_leaf(host[j]) == want[j]:
                 good[k] = host[j]
             else:
                 still_bad.append(k)
