@@ -8,6 +8,16 @@ configuration of BASELINE.json's headline metric and reference
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
+Flake-proof harness (round 3): the remote TPU backend is stateful and can
+fail transiently (round 2's graded artifact was lost to a single
+``FailedPrecondition`` on the first device->host fetch, BENCH_r02.json).
+The measurement therefore runs in a FRESH SUBPROCESS per attempt — a new
+process gets a clean backend session — with up to BENCH_ATTEMPTS (default 3)
+attempts and a short backoff between them. On unrecoverable failure the
+harness still prints a parseable JSON line with ``"value": null`` and an
+``"error"`` field, never a bare traceback, and exits 0 so the driver records
+a parseable artifact either way.
+
 Model configuration (round-2 tuning, each step profiler-verified on v5e):
 * ``unroll_layers=True`` — the scan encoder's backward saved per-layer
   residuals via dynamic-update-slice into stacked HBM buffers, profiled at
@@ -42,35 +52,47 @@ bench_torch_reference.py: torch eager 0.127 vs this framework 0.101 imgs/s
 on this host's CPU, i.e. the baseline model is not a strawman).
 
 Tunables: BENCH_BATCH, BENCH_STEPS, BENCH_ITERS, BENCH_VARIANT,
-BENCH_FUSED_MLP env vars.
+BENCH_FUSED_MLP, BENCH_ATTEMPTS, BENCH_TIMEOUT env vars.
 BENCH_VARIANT=attached attacks the unmerged LoRA-attached params (the
 train_loras-time configuration; extra rank-8 matmuls per dense) instead of
 the default merged form — functionally identical attack target; measured
 108.8 vs 117.1 imgs/s on v5e (the ~7% delta is the adapter matmuls). Merged
 is the headline because it is the form the reference evaluates and deploys
 (eval_compose.py merge_and_unload before attack evaluation).
+BENCH_VARIANT=int8 attacks with int8-quantized dense weights (bf16
+accumulate) — the precision-reduced path past the bf16 roofline; see
+PERF.md "int8 attack path".
+
+Per-backbone zoo numbers live in `tools/bench_zoo.py --json` (committed as
+ZOO_r*.json); this file keeps the driver contract of one JSON line.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
-from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
-from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
-
-REFERENCE_IMGS_PER_SEC = 55.0  # estimated PyTorch-GPU PGD-10 baseline (see module docstring)
-PGD10_TFLOPS_PER_IMG = 0.86  # analytic fwd + input-only bwd, see docstring
-V5E_PEAK_TFLOPS = 197.0  # bf16
+_CHILD_FLAG = "_APVT_BENCH_CHILD"
 
 
-def main() -> None:
+def measure() -> None:
+    """One measurement attempt (runs in a fresh child process)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
+
+    reference_imgs_per_sec = 55.0  # estimated PyTorch-GPU PGD-10 baseline
+    pgd10_tflops_per_img = 0.86  # analytic fwd + input-only bwd, see docstring
+    v5e_peak_tflops = 197.0  # bf16
+
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
@@ -121,18 +143,74 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec_per_chip = batch * iters / dt / n_chips
-    mfu = imgs_per_sec_per_chip * PGD10_TFLOPS_PER_IMG * (steps / 10) / V5E_PEAK_TFLOPS
+    mfu = imgs_per_sec_per_chip * pgd10_tflops_per_img * (steps / 10) / v5e_peak_tflops
     print(json.dumps({
         "metric": f"pgd{steps}_adv_images_per_sec_per_chip_vitb_lora"
-                  + ("_attached" if variant == "attached" else ""),
+                  + ("" if variant == "merged" else f"_{variant}"),
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec_per_chip / REFERENCE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(imgs_per_sec_per_chip / reference_imgs_per_sec, 3),
         "mfu_pct": round(100 * mfu, 1),
         "roofline_imgs_per_sec_per_chip": round(
-            V5E_PEAK_TFLOPS / (PGD10_TFLOPS_PER_IMG * (steps / 10)), 0),
+            v5e_peak_tflops / (pgd10_tflops_per_img * (steps / 10)), 0),
+    }))
+
+
+def _parse_json_line(text: str) -> dict | None:
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict) and "metric" in obj:
+                return obj
+    return None
+
+
+def main() -> None:
+    """Retry harness: fresh subprocess per attempt, JSON line no matter what."""
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    timeout = float(os.environ.get("BENCH_TIMEOUT", "1800"))
+    backoff = float(os.environ.get("BENCH_BACKOFF", "15"))
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    env = dict(os.environ, **{_CHILD_FLAG: "1"})
+    errors: list[str] = []
+    for n in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env, cwd=here,
+                capture_output=True, text=True, timeout=timeout)
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {n}: timeout after {timeout:.0f}s")
+        else:
+            parsed = _parse_json_line(proc.stdout)
+            if proc.returncode == 0 and parsed is not None and parsed.get("value"):
+                if errors:
+                    parsed["recovered_after"] = errors
+                print(json.dumps(parsed))
+                return
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+            errors.append(f"attempt {n}: rc={proc.returncode} " + " | ".join(tail))
+        if n < attempts:
+            time.sleep(backoff)
+
+    steps = os.environ.get("BENCH_STEPS", "10")
+    variant = os.environ.get("BENCH_VARIANT", "merged")
+    print(json.dumps({
+        "metric": f"pgd{steps}_adv_images_per_sec_per_chip_vitb_lora"
+                  + ("" if variant == "merged" else f"_{variant}"),
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": f"all {attempts} attempts failed: " + " ;; ".join(errors),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_CHILD_FLAG):
+        measure()
+    else:
+        main()
