@@ -161,13 +161,16 @@ def _bwd_rule(res, g):
     dx = dx[: x2.shape[0]].reshape(*lead, d)
 
     # Weight/bias grads as plain XLA (recomputed pre/h); DCE'd entirely when
-    # the caller only differentiates wrt the input (the attack path).
+    # the caller only differentiates wrt the input (the attack path). The
+    # recompute mirrors the kernel's numerics exactly — biases cast to the
+    # compute dtype and the A&S erf polynomial — so weight gradients are
+    # consistent with the activations the kernel actually produced.
     cd = x.dtype
     pre = jnp.dot(x2, w1.astype(cd), preferred_element_type=jnp.float32)
-    pre = pre + b1.astype(jnp.float32)
-    h = _gelu_f32(pre)
+    pre = pre + b1.astype(cd).astype(jnp.float32)
+    h = _gelu_f32(pre, erf=_erf_poly)
     dh = jnp.dot(g2, w2.astype(cd).T, preferred_element_type=jnp.float32)
-    dpre = dh * _gelu_grad_f32(pre)
+    dpre = dh * _gelu_grad_f32(pre, erf=_erf_poly)
     dw1 = jnp.dot(x2.T, dpre.astype(cd),
                   preferred_element_type=jnp.float32).astype(w1.dtype)
     db1 = jnp.sum(dpre, axis=0).astype(b1.dtype)

@@ -76,6 +76,10 @@ def resize_center_crop(img: np.ndarray, resize: int, crop: int) -> np.ndarray:
     lib = load()
     if lib is None:
         raise RuntimeError("native library unavailable")
+    if crop > resize:
+        # the C++ kernel computes only min(crop, new_w) columns; a larger
+        # crop would leave uninitialized bytes in the np.empty output
+        raise ValueError(f"crop ({crop}) must be <= resize ({resize})")
     img = np.ascontiguousarray(img, np.uint8)
     out = np.empty((crop, crop, 3), np.uint8)
     lib.apvt_resize_center_crop(_u8ptr(img), img.shape[0], img.shape[1],
@@ -89,6 +93,8 @@ def batch_resize_center_crop(imgs: np.ndarray, resize: int, crop: int,
     lib = load()
     if lib is None:
         raise RuntimeError("native library unavailable")
+    if crop > resize:
+        raise ValueError(f"crop ({crop}) must be <= resize ({resize})")
     imgs = np.ascontiguousarray(imgs, np.uint8)
     n, h, w, _ = imgs.shape
     out = np.empty((n, crop, crop, 3), np.uint8)

@@ -126,6 +126,11 @@ def test_loader_throughput_feeds_device(tmp_path):
     # device appetite is ~117 imgs/s/chip (bench.py); this single-core host
     # measures ~190 imgs/s on photo-like PNGs — assert a stable 1.28x margin
     assert ips > 150, f"host decode path too slow: {ips:.0f} imgs/s"
+
+
+def test_save_images_roundtrip(tmp_path):
+    """PNG writer quantization parity (Utils.py:106-113 semantics): pixels
+    round-trip exactly as floor(x*255) uint8."""
     imgs = np.random.default_rng(0).random((3, 16, 16, 3)).astype(np.float32)
     names = [f"x_{i}.png" for i in range(3)]
     save_images(imgs, names, str(tmp_path))
