@@ -19,11 +19,17 @@ from PIL import Image
 
 
 def resize_shorter(img: Image.Image, size: int) -> Image.Image:
+    # Long-side TRUNCATION, not rounding: torchvision computes
+    # ``new_long = int(size * long / short)``
+    # (_compute_resized_output_size, torchvision/transforms/functional.py) —
+    # a rounded long side diverges by one pixel on e.g. 100x101 inputs and
+    # shifts the center crop, which is where fractional-percent accuracy
+    # parity quietly leaks (SURVEY.md §7 hard-part 4).
     w, h = img.size
     if w <= h:
-        new_w, new_h = size, max(1, round(h * size / w))
+        new_w, new_h = size, max(1, int(h * size / w))
     else:
-        new_w, new_h = max(1, round(w * size / h)), size
+        new_w, new_h = max(1, int(w * size / h)), size
     return img.resize((new_w, new_h), Image.BILINEAR)
 
 

@@ -168,18 +168,16 @@ extern "C" {
 // src: (h, w, 3) uint8; dst: (crop, crop, 3) uint8.
 void apvt_resize_center_crop(const uint8_t* src, int h, int w, int resize,
                              int crop, uint8_t* dst) {
-  // round-half-to-even everywhere: Python's round() (used by the PIL
-  // reference pipeline and torchvision CenterCrop) is banker's rounding; a
-  // mismatch shifts the crop by a full pixel on .5 offsets.
+  // Long-side TRUNCATION (torchvision _compute_resized_output_size:
+  // new_long = int(size * long / short)); crop offsets below use
+  // round-half-to-even, matching torchvision CenterCrop's Python round().
   int new_w, new_h;
   if (w <= h) {
     new_w = resize;
-    new_h = std::max(1, static_cast<int>(std::nearbyint(
-                            static_cast<double>(h) * resize / w)));
+    new_h = std::max(1, static_cast<int>(static_cast<double>(h) * resize / w));
   } else {
     new_h = resize;
-    new_w = std::max(1, static_cast<int>(std::nearbyint(
-                            static_cast<double>(w) * resize / h)));
+    new_w = std::max(1, static_cast<int>(static_cast<double>(w) * resize / h));
   }
   const int left = std::clamp(
       static_cast<int>(std::nearbyint((new_w - crop) / 2.0)), 0,
