@@ -157,7 +157,8 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
 
     h = layer_norm(bp["ln2"], x, eps=eps)
     fc1, fc2 = bp["mlp"]["fc1"], bp["mlp"]["fc2"]
-    if cfg.use_fused_mlp and "lora_a" not in fc1 and "lora_a" not in fc2:
+    if (cfg.use_fused_mlp and "lora_a" not in fc1 and "lora_a" not in fc2
+            and "w_q" not in fc1 and "w_q" not in fc2):
         from ..kernels.mlp import fits_vmem, fused_mlp
 
         if (jax.default_backend() == "tpu"
@@ -206,6 +207,13 @@ def apply(cfg: ViTConfig, params: dict, images: jax.Array) -> jax.Array:
 # leading depth axis). These mirror the reference's PEFT targets
 # query/key/value/output.dense (reference train_loras.py:79-95).
 LORA_TARGETS_DEFAULT = ("blocks/attn/q", "blocks/attn/k", "blocks/attn/v", "blocks/attn/o")
+
+# Denses carrying ~97% of encoder FLOPs — the W8A8 attack-path targets
+# (ops/quant.py). Patch embed and head stay full precision (tiny FLOP share;
+# the embed sits before the first LN, where per-tensor activation scales are
+# least reliable).
+QUANT_TARGETS_DEFAULT = ("blocks/attn/q", "blocks/attn/k", "blocks/attn/v",
+                         "blocks/attn/o", "blocks/mlp/fc1", "blocks/mlp/fc2")
 
 
 def lora_target_paths(targets: tuple[str, ...] = ("q", "k", "v", "o")) -> tuple[str, ...]:

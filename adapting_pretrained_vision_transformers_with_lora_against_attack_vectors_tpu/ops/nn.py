@@ -38,8 +38,18 @@ def dense(p: Params, x: jax.Array, *, compute_dtype=None, accum_dtype=jnp.float3
       * ``lora_a``: ``(in_dim, r)``, ``lora_b``: ``(r, out_dim)``,
         ``lora_s``: scalar ``alpha / r`` — optional, see ``ops/lora.py``.
     """
-    w = p["w"]
     cd = compute_dtype or x.dtype
+    if "w_q" in p:
+        # W8A8 attack-time path (ops/quant.py): both matmul operands int8 on
+        # the double-rate MXU. Mirrors the lora_a dispatch below — the model
+        # code never knows which precision its denses run at.
+        from .quant import int8_matmul
+
+        y = int8_matmul(x.astype(cd), p["w_q"], p["w_s"]).astype(accum_dtype)
+        if "b" in p:
+            y = y + p["b"].astype(accum_dtype)
+        return y.astype(cd)
+    w = p["w"]
     y = jnp.dot(x.astype(cd), w.astype(cd), preferred_element_type=accum_dtype)
     if "lora_a" in p:
         a = p["lora_a"].astype(cd)

@@ -87,7 +87,7 @@ def measure() -> None:
 
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
-    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora, quant
 
     reference_imgs_per_sec = 55.0  # estimated PyTorch-GPU PGD-10 baseline
     pgd10_tflops_per_img = 0.86  # analytic fwd + input-only bwd, see docstring
@@ -115,7 +115,12 @@ def measure() -> None:
             out = lora.attach(params, adapter, lcfg)
         else:
             out = lora.merge(params, adapter, lcfg)
-        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), out)
+        out = jax.tree.map(lambda x: x.astype(jnp.bfloat16), out)
+        if variant == "int8":
+            # W8A8 attack path (ops/quant.py): merged LoRA weights quantized
+            # per-output-channel; activations quantized dynamically in-graph.
+            out = quant.quantize_dense_tree(out, vit.QUANT_TARGETS_DEFAULT)
+        return out
 
     params = build_params(jax.random.key(0))
     rng = jax.random.key(0)
