@@ -171,6 +171,140 @@ def attention_reference(q, k, v):
     return attention(q, k, v)
 
 
+# --- packed-layout kernel (round 3) -----------------------------------------
+#
+# The original kernel takes (B, H, N, D) operands, which forces the caller
+# through reshape + transpose and the kernel wrapper through pad(197->256) +
+# unpad-slice around every layer. The round-3 PGD trace priced that
+# interface at ~13% of END-TO-END runtime (pad 32+13 ms, slice 21 ms, layout
+# copies inside "data formatting" 37 ms, of 540 ms total). This variant
+# consumes the q/k/v DENSE OUTPUTS directly — (B, N, C) with heads as
+# contiguous 64-channel slices — so none of those ops exist at the XLA
+# level: the grid is (batch,), each program loads one batch element's
+# (N, C) q/k/v, builds per-head operands by channel slicing (the lane dim
+# cannot be reshaped in Mosaic — same pattern as kernels/window_attention),
+# and writes the (N, C) output that feeds the o-projection dense unchanged.
+# Sequence stays at its logical length (197): Mosaic masks the internal
+# lane/sublane padding, which the parity test pins against the XLA path.
+
+
+def _head_stack(x, heads: int, hd: int):
+    """(N, C) -> (heads, N, hd) by channel slicing (no minor-dim reshape)."""
+    parts = [x[:, h * hd:(h + 1) * hd] for h in range(heads)]
+    return jnp.concatenate([p[None] for p in parts], axis=0)
+
+
+def _head_concat(x):
+    """(heads, N, hd) -> (N, heads*hd) via channel concatenation."""
+    return jnp.concatenate([x[h] for h in range(x.shape[0])], axis=-1)
+
+
+def _packed_probs(q_ref, k_ref, *, heads: int, scale: float):
+    hd = q_ref.shape[-1] // heads
+    q = _head_stack(q_ref[0], heads, hd)
+    k = _head_stack(k_ref[0], heads, hd)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=-1, keepdims=True), q, k, hd
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+    p, _, _, hd = _packed_probs(q_ref, k_ref, heads=heads, scale=scale)
+    v = _head_stack(v_ref[0], heads, hd)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = _head_concat(o.astype(o_ref.dtype))
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                       heads: int, scale: float):
+    p, q, k, hd = _packed_probs(q_ref, k_ref, heads=heads, scale=scale)
+    v = _head_stack(v_ref[0], heads, hd)
+    do = _head_stack(do_ref[0], heads, hd)
+
+    p_lp = p.astype(v.dtype)
+    dv = jax.lax.dot_general(p_lp, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - row)) * scale
+    ds_lp = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(ds_lp, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = _head_concat(dq.astype(dq_ref.dtype))
+    dk_ref[0] = _head_concat(dk.astype(dk_ref.dtype))
+    dv_ref[0] = _head_concat(dv.astype(dv_ref.dtype))
+
+
+def _packed_call(kernel, out_shapes, inputs, heads: int, scale: float):
+    b, n, c = inputs[0].shape
+
+    def spec():
+        return pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(kernel, heads=heads, scale=scale),
+        out_shape=out_shapes,
+        grid=(b,),
+        in_specs=[spec() for _ in inputs],
+        out_specs=(tuple(spec() for _ in out_shapes)
+                   if isinstance(out_shapes, (list, tuple)) else spec()),
+    )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           heads: int) -> jax.Array:
+    """Pallas MHA over packed (batch, seq, heads*head_dim) operands.
+
+    Drop-in for the reshape/transpose + ``fused_attention`` + untranspose
+    composition; the layout ops and the 197->256 pad/unpad pair disappear
+    from the XLA program entirely.
+    """
+    scale = (q.shape[-1] // heads) ** -0.5
+    return _packed_call(
+        _packed_fwd_kernel, jax.ShapeDtypeStruct(q.shape, q.dtype),
+        [q, k, v], heads, scale)
+
+
+def _packed_fwd_rule(q, k, v, heads):
+    return fused_attention_packed(q, k, v, heads), (q, k, v)
+
+
+def _packed_bwd_rule(heads, res, g):
+    q, k, v = res
+    scale = (q.shape[-1] // heads) ** -0.5
+    shapes = tuple(jax.ShapeDtypeStruct(t.shape, t.dtype) for t in (q, k, v))
+    dq, dk, dv = _packed_call(_packed_bwd_kernel, shapes, [q, k, v, g],
+                              heads, scale)
+    return dq, dk, dv
+
+
+fused_attention_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+
+def attention_packed_reference(q, k, v, heads: int):
+    """XLA composition of the packed layout (parity / CPU fallback)."""
+    b, n, c = q.shape
+    hd = c // heads
+    split = lambda x: x.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+    o = attention_reference(split(q), split(k), split(v))
+    return o.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+
+def attention_packed_auto(q, k, v, heads: int):
+    """Backend-aware dispatch for the packed layout (TPU kernel vs XLA)."""
+    if jax.default_backend() == "tpu" and (q.shape[-1] // heads) % 32 == 0:
+        return fused_attention_packed(q, k, v, heads)
+    return attention_packed_reference(q, k, v, heads)
+
+
 def attention_auto(q, k, v):
     """Backend-aware dispatch: the Pallas kernel on TPU, the XLA composition
     everywhere else (Mosaic won't lower off-TPU outside interpret mode).

@@ -144,14 +144,21 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
     cd = x.dtype
 
     h = layer_norm(bp["ln1"], x, eps=eps)
-    q = dense(bp["attn"]["q"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
-    k = dense(bp["attn"]["k"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
-    v = dense(bp["attn"]["v"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
     if cfg.use_fused_attention:
-        from ..kernels.attention import attention_auto
+        # Packed layout: the q/k/v dense outputs (B, N, C) feed the kernel
+        # directly — no reshape/transpose and no 197->256 pad/unpad pair in
+        # the XLA program (round-3 trace: that interface cost ~13% of PGD
+        # runtime; see kernels/attention.py packed-kernel comment).
+        from ..kernels.attention import attention_packed_auto
 
-        attn_out = attention_auto(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+        q = dense(bp["attn"]["q"], h, compute_dtype=cd)
+        k = dense(bp["attn"]["k"], h, compute_dtype=cd)
+        v = dense(bp["attn"]["v"], h, compute_dtype=cd)
+        attn_out = attention_packed_auto(q, k, v, nh)
     else:
+        q = dense(bp["attn"]["q"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        k = dense(bp["attn"]["k"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        v = dense(bp["attn"]["v"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         attn_out = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
     x = x + dense(bp["attn"]["o"], attn_out, compute_dtype=cd)
 

@@ -179,6 +179,36 @@ def test_fused_window_attention_swin_flag_interpret():
     assert ref.shape == (2, cfg.num_classes)
 
 
+def test_fused_attention_packed_interpret_parity():
+    """Round-3 packed-layout kernel ((B, N, H*hd) in/out, no pad/transpose
+    interface): forward + custom VJP vs the XLA composition."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import attention as ka
+
+    rng = jax.random.key(0)
+    B, N, H, HD = 2, 37, 3, 32
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, N, H * HD))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, N, H * HD))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, N, H * HD))
+
+    with pltpu.force_tpu_interpret_mode():
+        o = ka.fused_attention_packed(q, k, v, H)
+        ref = ka.attention_packed_reference(q, k, v, H)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+        def loss(f):
+            return lambda q, k, v: jnp.sum(f(q, k, v, H) ** 2)
+
+        g = jax.grad(loss(ka.fused_attention_packed), argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(ka.attention_packed_reference),
+                         argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-3)
+
+
 def test_fused_attention_vit_flag_interpret():
     from jax.experimental.pallas import tpu as pltpu
 
