@@ -97,16 +97,39 @@ def make_autoattack(
     # NOT jitted as one program on purpose: each stage is already a single
     # compiled scan; fusing all four (APGD x2 + FAB + 5000-query Square)
     # into one XLA computation would explode compile time for zero runtime
-    # benefit. The inter-stage merges below are a handful of cheap ops.
+    # benefit. The inter-stage orchestration below runs on host so later
+    # stages can COMPACT to the surviving examples (round 3): upstream
+    # re-batches to idx_to_fool with fully dynamic shapes; here survivors
+    # gather into the next power-of-two bucket (compile cache stays bounded
+    # at log2(B) variants per stage) and scatter back with out-of-range pad
+    # indices dropped. In the flagship run APGD-CE breaks ~95% of examples,
+    # so stages 2-4 previously re-attacked a full batch to move a handful of
+    # rows — the dominant cost of the suite (ROBUSTNESS.md: 1292 s).
     def run(params, images, labels, rng):
+        import numpy as np
+
         expand = (slice(None),) + (None,) * (images.ndim - 1)
+        b = images.shape[0]
         x_adv = images
-        broken = misclassified(params, images, labels)  # clean errors count
+        broken = np.array(misclassified(params, images, labels))  # writable copy
         for i, (name, attack) in enumerate(stages):
-            x_k = attack(params, images, labels, jax.random.fold_in(rng, i))
-            newly = misclassified(params, x_k, labels) & (~broken)
-            x_adv = jnp.where(newly[expand], x_k, x_adv)
-            broken = broken | newly
+            remaining = np.nonzero(~broken)[0]
+            if remaining.size == 0:
+                break
+            bucket = min(b, 1 << max(3, int(remaining.size - 1).bit_length()))
+            # pad with out-of-range index b: gathers clamp (wasted rows),
+            # scatters drop (mode="drop") — no duplicate-index write races
+            idx = np.full((bucket,), b, np.int64)
+            idx[: remaining.size] = remaining[:bucket]
+            jidx = jnp.asarray(idx)
+            x_sub = jnp.asarray(images)[jidx]
+            y_sub = jnp.asarray(labels)[jidx]
+            x_k = attack(params, x_sub, y_sub, jax.random.fold_in(rng, i))
+            newly = misclassified(params, x_k, y_sub)
+            x_adv = jnp.asarray(x_adv).at[jidx].set(
+                jnp.where(newly[expand], x_k, jnp.asarray(x_adv)[jidx]),
+                mode="drop")
+            broken[idx[: remaining.size][np.asarray(newly)[: remaining.size]]] = True
         return x_adv
 
     return run

@@ -63,6 +63,10 @@ class SquareConfig:
     eps: float = 8 / 255
     n_queries: int = 5000
     p_init: float = 0.8
+    # window size of the early-exit check: the query scan runs in chunks of
+    # this many queries inside a while_loop that stops once every example is
+    # adversarial (each further query would be a no-op by the accept rule)
+    exit_check_every: int = 100
 
 
 def p_schedule(i: int, n: int, p_init: float) -> float:
@@ -151,8 +155,41 @@ def make_square(
             f = jnp.where(accept, f_cand, f)
             return (x, f), None
 
-        (x, f), _ = jax.lax.scan(
-            query, (x, f), (jnp.arange(cfg.n_queries), sides))
+        # Chunked early exit (round 3): once every example is adversarial
+        # (f <= 0) each remaining query is a provable no-op (accept requires
+        # f > 0), so the scan is windowed into fixed-size chunks inside a
+        # while_loop whose predicate stops the search. Most examples fall in
+        # the first few hundred queries; the flagship's 5000-query budget
+        # previously ran to completion regardless.
+        chunk = max(1, min(cfg.exit_check_every, cfg.n_queries))
+        n_chunks = -(-cfg.n_queries // chunk)
+        pad_n = n_chunks * chunk - cfg.n_queries
+        # padded tail re-uses the final side; padded indices never run:
+        # the while predicate stops at n_chunks, and i >= n_queries rows
+        # are masked by construction below
+        sides_all = jnp.concatenate(
+            [sides, jnp.full((pad_n,), sides[-1], jnp.int32)])
+
+        def chunk_body(carry):
+            x, f, ci = carry
+            i0 = ci * chunk
+            s_chunk = jax.lax.dynamic_slice(sides_all, (i0,), (chunk,))
+            i_chunk = i0 + jnp.arange(chunk)
+
+            def masked_query(c, inp):
+                i, s = inp
+                (x2, f2), _ = query(c, (i, s))
+                # queries past the configured budget (chunk padding) no-op
+                live = i < cfg.n_queries
+                x1, f1 = c
+                return (jnp.where(live, x2, x1), jnp.where(live, f2, f1)), None
+
+            (x, f), _ = jax.lax.scan(masked_query, (x, f), (i_chunk, s_chunk))
+            return x, f, ci + 1
+
+        x, f, _ = jax.lax.while_loop(
+            lambda c: (c[2] < n_chunks) & jnp.any(c[1] > 0),
+            chunk_body, (x, f, jnp.int32(0)))
         return x
 
     return run
