@@ -37,6 +37,13 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.apvt_batch_resize_center_crop.argtypes = [u8, i, i, i, i, i, u8, i]
     lib.apvt_resize_with_padding.argtypes = [u8, i, i, i, u8]
     lib.apvt_batch_u8_to_f32_normalize.argtypes = [u8, i, i, i, f32, f32, f32, i]
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.apvt_png_info.argtypes = [u8, ctypes.c_long, ip, ip]
+    lib.apvt_png_info.restype = i
+    lib.apvt_png_decode_rgb.argtypes = [u8, ctypes.c_long, u8]
+    lib.apvt_png_decode_rgb.restype = i
+    lib.apvt_png_decode_resize_center_crop.argtypes = [u8, ctypes.c_long, i, i, u8]
+    lib.apvt_png_decode_resize_center_crop.restype = i
     return lib
 
 
@@ -113,6 +120,42 @@ def resize_with_padding(img: np.ndarray, size: int) -> np.ndarray:
     out = np.empty((size, size, 3), np.uint8)
     lib.apvt_resize_with_padding(_u8ptr(img), img.shape[0], img.shape[1],
                                  size, _u8ptr(out))
+    return out
+
+
+def decode_png_rgb(data: bytes) -> Optional[np.ndarray]:
+    """PNG bytes -> (H, W, 3) uint8 RGB via the native decoder (libdeflate
+    inflate + C++ unfilter; PIL convert("RGB") alpha/palette semantics).
+    None when the file needs PIL (16-bit, interlaced, sub-byte palette)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buf = np.frombuffer(data, np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.apvt_png_info(_u8ptr(buf), len(data), ctypes.byref(h),
+                         ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.apvt_png_decode_rgb(_u8ptr(buf), len(data), _u8ptr(out)) != 0:
+        return None
+    return out
+
+
+def decode_png_resize_center_crop(data: bytes, resize: int,
+                                  crop: int) -> Optional[np.ndarray]:
+    """The loader hot path in one native call: PNG bytes -> shorter-side
+    resize + center crop -> (crop, crop, 3) uint8. None -> caller falls
+    back to PIL."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if crop > resize:
+        raise ValueError(f"crop ({crop}) must be <= resize ({resize})")
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((crop, crop, 3), np.uint8)
+    if lib.apvt_png_decode_resize_center_crop(
+            _u8ptr(buf), len(data), resize, crop, _u8ptr(out)) != 0:
+        return None
     return out
 
 

@@ -82,7 +82,7 @@ def test_loader_native_backend_matches_pil(dataset):
 
 
 def test_loader_throughput_feeds_device(tmp_path):
-    """Host decode path must outpace the device's PGD appetite (~117 imgs/s
+    """Host decode path must outpace the device's PGD appetite (~158 imgs/s
     per chip at batch 64, BENCH) with real PNG decode + 224px resize/crop."""
     import time
 
@@ -121,11 +121,12 @@ def test_loader_throughput_feeds_device(tmp_path):
         total = sum(int(b.valid.sum()) for b in loader)
         ips = max(ips, total / (time.perf_counter() - t0))
         assert total == n
-        if ips > 150:
+        if ips > 300:
             break
-    # device appetite is ~117 imgs/s/chip (bench.py); this single-core host
-    # measures ~190 imgs/s on photo-like PNGs — assert a stable 1.28x margin
-    assert ips > 150, f"host decode path too slow: {ips:.0f} imgs/s"
+    # device appetite is ~158 imgs/s/chip (bench.py, packed fused attention);
+    # the native fused PNG-decode path measures ~546 imgs/s on this host's
+    # one core — assert a ~2x appetite margin with headroom for host noise
+    assert ips > 300, f"host decode path too slow: {ips:.0f} imgs/s"
 
 
 def test_save_images_roundtrip(tmp_path):

@@ -282,3 +282,75 @@ def test_fused_mlp_vit_flag_interpret():
         got = vit.apply(fused_cfg, params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_native_png_decode_bit_exact_all_color_types(lib):
+    """The native PNG decoder (libdeflate inflate + C++ unfilter,
+    native/src/png_codec.cc) must match PIL's decode + convert("RGB")
+    byte-for-byte for every 8-bit color type the ETL/attack writers emit
+    (reference Utils.py:106-113 writes RGB PNGs; raw corpora also carry
+    palette/gray/alpha files)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    cases = {
+        "rgb": Image.fromarray(rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)),
+        "rgba": Image.fromarray(rng.integers(0, 256, (64, 80, 4), dtype=np.uint8), "RGBA"),
+        "gray": Image.fromarray(rng.integers(0, 256, (90, 70), dtype=np.uint8), "L"),
+        "la": Image.fromarray(
+            np.dstack([rng.integers(0, 256, (50, 60), dtype=np.uint8)] * 2), "LA"),
+        "palette": Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)).quantize(64).convert("P"),
+    }
+    # structured image exercises the sub/up/average/paeth filter mix an
+    # optimizing encoder actually chooses (pure noise mostly gets filter 0)
+    yy, xx = np.mgrid[0:256, 0:320]
+    cases["photo"] = Image.fromarray(
+        np.stack([yy % 256, (xx * 2) % 256, ((yy + xx) // 2) % 256], -1).astype(np.uint8))
+
+    for name, im in cases.items():
+        buf = io.BytesIO()
+        im.save(buf, "PNG")
+        data = buf.getvalue()
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+        got = lib.decode_png_rgb(data)
+        assert got is not None, name
+        np.testing.assert_array_equal(got, ref, err_msg=name)
+
+
+def test_native_png_decode_fused_resize_matches_two_step(lib):
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (256, 320, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    data = buf.getvalue()
+    fused = lib.decode_png_resize_center_crop(data, 256, 224)
+    two_step = lib.resize_center_crop(lib.decode_png_rgb(data), 256, 224)
+    np.testing.assert_array_equal(fused, two_step)
+
+
+def test_native_png_decode_guards(lib):
+    """Unsupported/corrupt inputs return None (PIL fallback), never garbage:
+    interlaced header, truncated file, non-PNG bytes, 16-bit depth."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)).save(buf, "PNG")
+    data = bytearray(buf.getvalue())
+    interlaced = bytearray(data)
+    interlaced[28] = 1  # IHDR payload byte 12 (interlace method)
+    assert lib.decode_png_rgb(bytes(interlaced)) is None
+    assert lib.decode_png_rgb(bytes(data[:40])) is None
+    assert lib.decode_png_rgb(b"not a png at all") is None
+    buf16 = io.BytesIO()
+    Image.fromarray(rng.integers(0, 65535, (20, 20), dtype=np.uint16)).save(buf16, "PNG")
+    assert lib.decode_png_rgb(buf16.getvalue()) is None
