@@ -55,13 +55,23 @@ def save_images(images, filenames: Sequence[str], output_dir: str, *,
     # lazy: data.io <-> attacks would otherwise cycle through the package
     # __init__ re-exports (attacks.generate imports data.io)
     from ..attacks.common import uint8_quantize
+    from ..utils import native
 
     os.makedirs(output_dir, exist_ok=True)
     arr = uint8_quantize(images)
+    nat = native if native.available() else None
 
     def write(i_name):
         i, name = i_name
-        Image.fromarray(arr[i]).save(os.path.join(output_dir, name))
+        path = os.path.join(output_dir, name)
+        if nat is not None and name.endswith(".png"):
+            # native encoder: fixed up-filter + libdeflate (~4.6x PIL at the
+            # same compressed size on adversarial-image content, PERF.md)
+            data = nat.encode_png_rgb(arr[i])
+            with open(path, "wb") as f:
+                f.write(data)
+        else:
+            Image.fromarray(arr[i]).save(path)
 
     if pool is not None:
         list(pool.map(write, enumerate(filenames)))

@@ -44,6 +44,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.apvt_png_decode_rgb.restype = i
     lib.apvt_png_decode_resize_center_crop.argtypes = [u8, ctypes.c_long, i, i, u8]
     lib.apvt_png_decode_resize_center_crop.restype = i
+    lib.apvt_png_encode_rgb.argtypes = [u8, i, i, i, u8, ctypes.c_long]
+    lib.apvt_png_encode_rgb.restype = ctypes.c_long
+    lib.apvt_png_encode_bound.argtypes = [i, i]
+    lib.apvt_png_encode_bound.restype = ctypes.c_long
     return lib
 
 
@@ -157,6 +161,24 @@ def decode_png_resize_center_crop(data: bytes, resize: int,
             _u8ptr(buf), len(data), resize, crop, _u8ptr(out)) != 0:
         return None
     return out
+
+
+def encode_png_rgb(img: np.ndarray, *, level: int = 6) -> bytes:
+    """(H, W, 3) uint8 -> PNG bytes (native encoder: fixed up-filter +
+    libdeflate compression; pixel-lossless like any valid PNG encoding)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_png_rgb expects (H, W, 3)")
+    cap = lib.apvt_png_encode_bound(h, w)
+    out = np.empty(cap, np.uint8)
+    n = lib.apvt_png_encode_rgb(_u8ptr(img), h, w, level, _u8ptr(out), cap)
+    if n <= 0:
+        raise RuntimeError("native PNG encode failed")
+    return out[:n].tobytes()
 
 
 def batch_normalize(imgs: np.ndarray, mean, std,

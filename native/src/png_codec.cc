@@ -40,11 +40,16 @@ namespace {
 using ld_alloc_fn = void* (*)();
 using ld_inflate_fn = int (*)(void*, const void*, size_t, void*, size_t,
                               size_t*);
+using ld_alloc_c_fn = void* (*)(int);
+using ld_compress_fn = size_t (*)(void*, const void*, size_t, void*, size_t);
 
 struct InflateBackend {
   ld_alloc_fn ld_alloc = nullptr;
   ld_inflate_fn ld_inflate = nullptr;
+  ld_alloc_c_fn ld_alloc_c = nullptr;
+  ld_compress_fn ld_compress = nullptr;
   bool have_libdeflate = false;
+  bool have_ld_compress = false;
   InflateBackend() {
     void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
     if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
@@ -54,6 +59,11 @@ struct InflateBackend {
       ld_inflate =
           reinterpret_cast<ld_inflate_fn>(dlsym(h, "libdeflate_zlib_decompress"));
       have_libdeflate = ld_alloc && ld_inflate;
+      ld_alloc_c =
+          reinterpret_cast<ld_alloc_c_fn>(dlsym(h, "libdeflate_alloc_compressor"));
+      ld_compress =
+          reinterpret_cast<ld_compress_fn>(dlsym(h, "libdeflate_zlib_compress"));
+      have_ld_compress = ld_alloc_c && ld_compress;
     }
   }
 };
@@ -298,6 +308,46 @@ int decode_rgb(const uint8_t* png, size_t len, PngHeader* hdr,
   return APVT_PNG_OK;
 }
 
+// Deflate `src` into `dst` (zlib container). Returns compressed size, or 0
+// if dst_cap is too small.
+size_t zlib_deflate(const uint8_t* src, size_t src_len, uint8_t* dst,
+                    size_t dst_cap, int level) {
+  const InflateBackend& b = backend();
+  if (b.have_ld_compress) {
+    // one compressor per (thread, level); level changes are rare
+    thread_local void* comp = nullptr;
+    thread_local int comp_level = -1;
+    if (comp == nullptr || comp_level != level) {
+      comp = b.ld_alloc_c(level);
+      comp_level = level;
+    }
+    if (comp) return b.ld_compress(comp, src, src_len, dst, dst_cap);
+  }
+  uLongf out_len = static_cast<uLongf>(dst_cap);
+  if (compress2(dst, &out_len, src, static_cast<uLong>(src_len), level) != Z_OK)
+    return 0;
+  return out_len;
+}
+
+void put_be32(uint8_t* p, uint32_t v) {
+  p[0] = static_cast<uint8_t>(v >> 24);
+  p[1] = static_cast<uint8_t>(v >> 16);
+  p[2] = static_cast<uint8_t>(v >> 8);
+  p[3] = static_cast<uint8_t>(v);
+}
+
+// Write one chunk (type + data + CRC) at `p`; returns bytes written.
+size_t put_chunk(uint8_t* p, const char* type, const uint8_t* data,
+                 size_t len) {
+  put_be32(p, static_cast<uint32_t>(len));
+  std::memcpy(p + 4, type, 4);
+  if (len) std::memcpy(p + 8, data, len);
+  uLong c = crc32(0L, Z_NULL, 0);
+  c = crc32(c, p + 4, static_cast<uInt>(4 + len));
+  put_be32(p + 8 + len, static_cast<uint32_t>(c));
+  return 12 + len;
+}
+
 }  // namespace
 
 extern "C" {
@@ -336,6 +386,70 @@ int apvt_png_decode_resize_center_crop(const uint8_t* png, long len,
   if (rc != APVT_PNG_OK) return rc;
   apvt_resize_center_crop(rgb.data(), hdr.h, hdr.w, resize, crop, dst);
   return APVT_PNG_OK;
+}
+
+// Encode (h, w, 3) u8 RGB as a PNG (8-bit color type 2, non-interlaced).
+// Any spec-valid encoding is pixel-lossless, so this trades PIL's adaptive
+// per-row filter search for one fixed filter: "up" (row delta) — near-free
+// to compute and close to adaptive ratios on photographic content — then
+// libdeflate zlib compression (zlib compress2 fallback). `level`: deflate
+// level 1-12 (libdeflate) / 1-9 (zlib). Returns bytes written into `out`
+// (caller provides `out_cap` >= apvt_png_encode_bound(h, w)), or -1.
+long apvt_png_encode_rgb(const uint8_t* src, int h, int w, int level,
+                         uint8_t* out, long out_cap) {
+  if (h <= 0 || w <= 0 || out_cap <= 0) return -1;
+  const size_t row_bytes = static_cast<size_t>(w) * 3;
+  const size_t raw_len = static_cast<size_t>(h) * (1 + row_bytes);
+  thread_local std::vector<uint8_t> raw;
+  raw.resize(raw_len);
+  for (int y = 0; y < h; ++y) {
+    uint8_t* dst_row = raw.data() + static_cast<size_t>(y) * (1 + row_bytes);
+    const uint8_t* cur = src + static_cast<size_t>(y) * row_bytes;
+    if (y == 0) {
+      dst_row[0] = 1;  // sub filter for the first row (no row above)
+      dst_row[1] = cur[0];
+      dst_row[2] = cur[1];
+      dst_row[3] = cur[2];
+      for (size_t i = 3; i < row_bytes; ++i)
+        dst_row[1 + i] = static_cast<uint8_t>(cur[i] - cur[i - 3]);
+    } else {
+      dst_row[0] = 2;  // up filter
+      const uint8_t* prev = cur - row_bytes;
+      for (size_t i = 0; i < row_bytes; ++i)
+        dst_row[1 + i] = static_cast<uint8_t>(cur[i] - prev[i]);
+    }
+  }
+
+  thread_local std::vector<uint8_t> comp;
+  comp.resize(raw_len + raw_len / 2 + 512);
+  const size_t comp_len =
+      zlib_deflate(raw.data(), raw_len, comp.data(), comp.size(), level);
+  if (comp_len == 0) return -1;
+
+  const size_t total = 8 + 25 + (12 + comp_len) + 12;
+  if (static_cast<size_t>(out_cap) < total) return -1;
+  uint8_t* p = out;
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  std::memcpy(p, sig, 8);
+  p += 8;
+  uint8_t ihdr[13];
+  put_be32(ihdr, static_cast<uint32_t>(w));
+  put_be32(ihdr + 4, static_cast<uint32_t>(h));
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 2;   // color type: truecolor RGB
+  ihdr[10] = 0;  // compression
+  ihdr[11] = 0;  // filter method
+  ihdr[12] = 0;  // no interlace
+  p += put_chunk(p, "IHDR", ihdr, 13);
+  p += put_chunk(p, "IDAT", comp.data(), comp_len);
+  p += put_chunk(p, "IEND", nullptr, 0);
+  return static_cast<long>(p - out);
+}
+
+// Worst-case output size for apvt_png_encode_rgb's buffer.
+long apvt_png_encode_bound(int h, int w) {
+  const size_t raw_len = static_cast<size_t>(h) * (1 + static_cast<size_t>(w) * 3);
+  return static_cast<long>(8 + 25 + 12 + 12 + raw_len + raw_len / 2 + 512);
 }
 
 }  // extern "C"

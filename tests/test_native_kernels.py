@@ -354,3 +354,23 @@ def test_native_png_decode_guards(lib):
     buf16 = io.BytesIO()
     Image.fromarray(rng.integers(0, 65535, (20, 20), dtype=np.uint16)).save(buf16, "PNG")
     assert lib.decode_png_rgb(buf16.getvalue()) is None
+
+
+def test_native_png_encode_roundtrip_lossless(lib):
+    """Native encoder output must decode pixel-exactly through BOTH PIL and
+    the native decoder (the adv-image filesystem contract is lossless
+    uint8, reference Utils.py:106-113)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    yy, xx = np.mgrid[0:97, 0:113]
+    base = np.stack([yy % 256, (xx * 2) % 256, ((yy + xx) // 2) % 256],
+                    -1).astype(np.int16)
+    for level in (1, 6):
+        img = np.clip(base + rng.integers(-8, 9, base.shape), 0, 255).astype(np.uint8)
+        data = lib.encode_png_rgb(img, level=level)
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(io.BytesIO(data)).convert("RGB")), img)
+        np.testing.assert_array_equal(lib.decode_png_rgb(data), img)
