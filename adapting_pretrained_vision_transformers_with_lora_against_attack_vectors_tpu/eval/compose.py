@@ -21,6 +21,7 @@ then emit a JSON results file and an aligned summary table
 
 from __future__ import annotations
 
+import glob
 import itertools
 import json
 import os
@@ -82,14 +83,34 @@ def build_variant_params(base_params, combo: Sequence[str],
 
 
 def find_lora_adapters(lora_root: str, attacks: Sequence[str], rank: int,
-                       *, tag: str = "best") -> dict[str, tuple]:
-    """Discover ``{lora_root}/{attack}/rank{r}_{tag}_adapter`` dirs
-    (reference layout, eval_compose.py:197-208) and load them."""
+                       *, tag: str = "best", model: Optional[str] = None,
+                       source: Optional[str] = None,
+                       log: Callable[[str], None] = print) -> dict[str, tuple]:
+    """Discover per-attack adapter dirs and load them.
+
+    Accepts both the flat layout the CLI composes
+    (``{lora_root}/{attack}/rank{r}_{tag}_adapter``) and the reference's
+    nested tree (``{lora_root}/{model}/{source}/{attack}/...``,
+    eval_compose.py:197-208) — with ``model``/``source`` pinning the nested
+    path, or a glob over them when not given. Discovered and missing
+    adapters are logged so a wrong ``lora_root`` fails loudly, not as a
+    silently empty variant matrix."""
     found = {}
+    suffix = f"rank{rank}_{tag}_adapter"
     for attack in attacks:
-        d = os.path.join(lora_root, attack, f"rank{rank}_{tag}_adapter")
-        if os.path.isdir(d):
-            found[attack] = peft_io.load_peft_adapter(d)
+        candidates = [os.path.join(lora_root, attack, suffix)]
+        if model is not None and source is not None:
+            candidates.append(
+                os.path.join(lora_root, model, source, attack, suffix))
+        candidates.extend(sorted(
+            glob.glob(os.path.join(lora_root, "*", "*", attack, suffix))))
+        hit = next((d for d in candidates if os.path.isdir(d)), None)
+        if hit is None:
+            log(f"find_lora_adapters: no {attack!r} adapter "
+                f"({suffix}) under {lora_root}")
+            continue
+        log(f"find_lora_adapters: {attack} <- {hit}")
+        found[attack] = peft_io.load_peft_adapter(hit)
     return found
 
 

@@ -337,3 +337,36 @@ def test_two_adapter_composition_matches_peft_sequential_merge(hf_model, tmp_pat
         ref = m(torch.from_numpy(images.transpose(0, 3, 1, 2))).logits.numpy()
     ours = np.asarray(vit.apply(OUR_CFG, merged, jnp.asarray(images)))
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_find_lora_adapters_both_layouts(tmp_path, capsys):
+    """Adapter discovery must accept the flat CLI layout AND the reference's
+    nested {model}/{source} tree (eval_compose.py:197-208), and log missing
+    adapters instead of silently returning an empty dict."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.eval import compose
+
+    _, adapter, cfg = _make_adapter()
+    flat = tmp_path / "flat"
+    peft_io.save_peft_adapter(adapter, cfg, str(flat / "pgd" / "rank4_best_adapter"))
+    nested = tmp_path / "nested"
+    peft_io.save_peft_adapter(
+        adapter, cfg,
+        str(nested / "google_vit" / "mapillary" / "fgsm" / "rank4_best_adapter"))
+
+    msgs = []
+    found_flat = compose.find_lora_adapters(str(flat), ["pgd"], 4, log=msgs.append)
+    assert set(found_flat) == {"pgd"}
+
+    # nested without model/source pins resolves via the glob
+    found_nested = compose.find_lora_adapters(str(nested), ["fgsm"], 4, log=msgs.append)
+    assert set(found_nested) == {"fgsm"}
+    # and with explicit pins
+    found_pinned = compose.find_lora_adapters(
+        str(nested), ["fgsm"], 4, model="google_vit", source="mapillary",
+        log=msgs.append)
+    assert set(found_pinned) == {"fgsm"}
+
+    missing_msgs = []
+    assert compose.find_lora_adapters(str(flat), ["patch"], 4,
+                                      log=missing_msgs.append) == {}
+    assert any("no 'patch' adapter" in m for m in missing_msgs)
