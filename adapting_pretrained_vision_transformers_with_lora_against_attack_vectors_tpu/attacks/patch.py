@@ -154,19 +154,27 @@ def make_train_patch(
     iterations draws a minibatch + fresh EOT samples and takes one Adam
     step on the patch. ``fixed_location``: optional (x, y) center in [0,1]
     image coordinates (RP2 pins the patch at the sign center,
-    rp2_attack.py:49)."""
+    rp2_attack.py:49).
+
+    The returned ``run`` accepts an optional ``mask`` argument (default:
+    ``patch_mask(cfg)``). The mask is a *runtime argument* of the jitted
+    program, not a baked-in constant — so the circle and square patch types
+    (reference patch_attack.py:148 loop) share ONE compiled program instead
+    of recompiling the whole iteration scan per shape (each fresh ViT-B
+    compile is minutes on the remote backend; the round-2 flagship run's
+    879 s patch stage was mostly these compiles)."""
     apply_fn = partial(entry_apply, model_cfg)
-    mask = patch_mask(cfg)
+    default_mask = patch_mask(cfg)
     tx_opt = optax.adam(cfg.learning_rate)
 
-    def loss_fn(patch, params, images, labels, eot):
+    def loss_fn(patch, params, images, labels, eot, mask):
         patched = composite_batch(images, patch, mask, eot)
         logits = apply_fn(params, normalize(patched))
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
         return -ce if not cfg.targeted else ce
 
     @jax.jit
-    def run(params, images, labels, rng):
+    def run_impl(params, images, labels, rng, mask):
         n = images.shape[0]
         image_size = images.shape[1]
 
@@ -185,7 +193,7 @@ def make_train_patch(
                 ty = jnp.full((cfg.batch_size,), (fy - 0.5) * image_size)
                 eot = (eot[0], eot[1], tx, ty, eot[4])
             loss, grads = jax.value_and_grad(loss_fn)(patch, params, mb_images,
-                                                      mb_labels, eot)
+                                                      mb_labels, eot, mask)
             updates, opt_state = tx_opt.update(grads, opt_state, patch)
             patch = jnp.clip(optax.apply_updates(patch, updates), 0.0, 1.0)
             return (patch, opt_state), loss
@@ -195,6 +203,11 @@ def make_train_patch(
             step, (patch0, tx_opt.init(patch0)), jax.random.split(rng, cfg.iters))
         return patch, losses
 
+    def run(params, images, labels, rng, mask=None):
+        return run_impl(params, images, labels, rng,
+                        default_mask if mask is None else mask)
+
+    run.jitted = run_impl  # introspection: tests assert one-compile reuse
     return run
 
 
@@ -205,11 +218,13 @@ def make_apply_patch(cfg: PatchConfig, *,
 
     Scale is a runtime scalar so the reference's per-batch
     ``U(scale_min_apply, scale_max_apply)`` draw (patch_attack.py:199-208)
-    costs no recompile; rotation/translation are random per image."""
-    mask = patch_mask(cfg)
+    costs no recompile; rotation/translation are random per image. ``mask``
+    is likewise a runtime argument (default ``patch_mask(cfg)``) so
+    circle/square application shares one compiled program."""
+    default_mask = patch_mask(cfg)
 
     @jax.jit
-    def run(images, patch, rng, scale):
+    def run_impl(images, patch, rng, scale, mask):
         n, image_size = images.shape[0], images.shape[1]
         r_t, r_xy, r_b = jax.random.split(rng, 3)
         scale_b = jnp.full((n,), scale)
@@ -228,4 +243,9 @@ def make_apply_patch(cfg: PatchConfig, *,
         return composite_batch(images, patch, mask,
                                (scale_b, theta, tx, ty, brightness))
 
+    def run(images, patch, rng, scale, mask=None):
+        return run_impl(images, patch, rng, scale,
+                        default_mask if mask is None else mask)
+
+    run.jitted = run_impl  # introspection: tests assert one-compile reuse
     return run

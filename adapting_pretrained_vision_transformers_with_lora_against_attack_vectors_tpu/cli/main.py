@@ -278,16 +278,25 @@ def cmd_patch_attack(args):
     loaders = _loaders_for(args, vocab, args.splits,
                            batch_size=args.batch_size,
                            image_size=cfg.image_size, shuffle_train=False)
-    for patch_type in args.patch_type:
-        pcfg = patch_mod.PatchConfig(
-            patch_size=args.patch_size, shape=patch_type,
+    def make_pcfg(shape):
+        return patch_mod.PatchConfig(
+            patch_size=args.patch_size, shape=shape,
             rotation_max_deg=args.rotation_max, scale_min=args.scale_min,
             scale_max=args.scale_max, learning_rate=args.learning_rate,
             iters=args.max_iter, batch_size=args.batch_size,
             targeted=args.targeted)
-        train_fn = patch_mod.make_train_patch(entry.apply, cfg, pcfg,
-                                              normalize=normalize)
-        apply_fn = patch_mod.make_apply_patch(pcfg)
+
+    # ONE train/apply program for all patch types: the shape mask is a
+    # runtime argument (attacks/patch.py), so the second type costs no
+    # recompile of the iteration scan (the round-2 patch stage's dominant
+    # wall-clock was per-shape ViT-B recompiles).
+    base_cfg = make_pcfg(args.patch_type[0])
+    train_fn = patch_mod.make_train_patch(entry.apply, cfg, base_cfg,
+                                          normalize=normalize)
+    apply_fn = patch_mod.make_apply_patch(base_cfg)
+
+    for patch_type in args.patch_type:
+        mask = patch_mod.patch_mask(make_pcfg(patch_type))
 
         for split in args.splits:
             loader = loaders[split]
@@ -308,16 +317,17 @@ def cmd_patch_attack(args):
             images = np.concatenate(xs)[: args.patch_sample_size]
             labels = np.concatenate(ys)[: args.patch_sample_size]
             patch, losses = train_fn(params, images, labels,
-                                     jax.random.fold_in(rng, 0))
+                                     jax.random.fold_in(rng, 0), mask)
             print(f"{patch_type} {split}: patch trained "
                   f"(final loss {float(losses[-1]):.4f})")
 
-            def attack(p, im, lb, r, _patch=patch, _apply=apply_fn):
+            def attack(p, im, lb, r, _patch=patch, _apply=apply_fn,
+                       _mask=mask):
                 r_s, r_a = jax.random.split(r)
                 scale = float(jax.random.uniform(
                     r_s, (), minval=args.scale_min_apply,
                     maxval=args.scale_max_apply))
-                return _apply(im, _patch, r_a, scale)
+                return _apply(im, _patch, r_a, scale, _mask)
 
             clean_meta = filter_metadata(
                 pd.read_csv(os.path.join(args.data_root, split,

@@ -182,3 +182,35 @@ def test_rp2_patch_png_dump(tmp_path):
     rp2.save_class_patches(patches, str(tmp_path), cfg=cfg,
                            class_names={0: "stop"})
     assert (tmp_path / "rp2_patch_stop.png").exists()
+
+
+def test_patch_types_share_one_compiled_program():
+    """Circle and square masks are runtime arguments: running both patch
+    types must hit ONE jit cache entry for training and application (the
+    reference's per-shape loop, patch_attack.py:148, would otherwise pay a
+    full iteration-scan recompile per shape)."""
+    entry = registry.get_model("vit_test")
+    cfg = entry.config(5)
+    params = entry.init(jax.random.key(0), cfg)
+    pcfg_circle = small_cfg(iters=3, shape="circle")
+    pcfg_square = small_cfg(iters=3, shape="square")
+
+    images = jax.random.uniform(jax.random.key(1), (4, 32, 32, 3))
+    labels = jnp.zeros((4,), jnp.int32)
+
+    train = patch_mod.make_train_patch(entry.apply, cfg, pcfg_circle,
+                                       normalize=IDENT)
+    p_circle, _ = train(params, images, labels, jax.random.key(2),
+                        patch_mod.patch_mask(pcfg_circle))
+    p_square, _ = train(params, images, labels, jax.random.key(2),
+                        patch_mod.patch_mask(pcfg_square))
+    assert train.jitted._cache_size() == 1
+    # different masks genuinely flowed through the shared program
+    assert not np.allclose(np.asarray(p_circle), np.asarray(p_square))
+
+    apply_fn = patch_mod.make_apply_patch(pcfg_circle)
+    apply_fn(images, p_circle, jax.random.key(3), 0.4,
+             patch_mod.patch_mask(pcfg_circle))
+    apply_fn(images, p_square, jax.random.key(3), 0.4,
+             patch_mod.patch_mask(pcfg_square))
+    assert apply_fn.jitted._cache_size() == 1

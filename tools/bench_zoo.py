@@ -9,12 +9,18 @@ no-op on axon — see bench.py).
 
 Usage: python tools/bench_zoo.py [--models google_vit swin ...]
                                  [--batch 64] [--iters 4] [--no-fused]
+                                 [--json ZOO_r03.json]
+
+``--json PATH`` additionally writes the machine-readable artifact the
+judge/driver can diff across rounds (VERDICT r2 item 9): one record per
+backbone with throughput, batch, steps, and the flags used.
 """
 
 from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -73,17 +79,34 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--json", default=None,
+                    help="also write a machine-readable per-backbone artifact")
     args = ap.parse_args()
 
+    records = []
     print(f"| backbone | PGD-{args.steps} imgs/s (B={args.batch}) |")
     print("|---|---|")
     for name in args.models:
+        rec = {"backbone": name, "metric": f"pgd{args.steps}_imgs_per_sec_per_chip",
+               "batch": args.batch, "steps": args.steps,
+               "fused_attention": not args.no_fused}
         try:
             v = bench_one(name, args.batch, args.steps, args.iters,
                           fused=not args.no_fused)
+            rec["value"] = round(v, 1)
             print(f"| {name} | {v:.1f} |", flush=True)
         except Exception as e:  # keep sweeping — same isolation as the CLI
+            rec["value"] = None
+            rec["error"] = f"{type(e).__name__}: {e}"
             print(f"| {name} | FAILED: {type(e).__name__}: {e} |", flush=True)
+        records.append(rec)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"unit": "images/sec/chip",
+                       "device": jax.devices()[0].device_kind,
+                       "records": records}, f, indent=2)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
