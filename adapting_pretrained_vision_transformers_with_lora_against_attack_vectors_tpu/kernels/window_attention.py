@@ -211,13 +211,14 @@ def fused_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
 
 
 def _prep(qkv, bias, mask):
+    # Round 3: no XLA-level token padding (was round_up(n, 64)). Mosaic
+    # masks the internal sublane/lane padding of the logical 49-token dims
+    # itself (same as the packed ViT kernel at N=197, kernels/attention.py),
+    # so the pad/slice interface copies around every block disappear from
+    # the XLA program. n_real masking in-kernel becomes a no-op but is kept
+    # for generality.
     n = qkv.shape[2]
-    n_pad = round_up(n, 64)
-    qkv_p = _pad_tokens(qkv, n_pad)
-    pad2 = ((0, 0), (0, n_pad - n), (0, n_pad - n))
-    bias_p = jnp.pad(bias, pad2) if n != n_pad else bias
-    mask_p = jnp.pad(mask, pad2) if n != n_pad else mask
-    return qkv_p, bias_p, mask_p, n, n_pad
+    return qkv, bias, mask, n, n
 
 
 def _fwd_impl(qkv, bias, mask, heads):

@@ -1,0 +1,143 @@
+"""Flagship robustness pipeline runner -> machine-readable artifact.
+
+Runs the full six-stage pipeline (reference call graph, SURVEY.md §3) at the
+ROBUSTNESS.md flagship configuration — ViT-B/16, 224 px synthetic corpus,
+four attack families, rank-8 adapter per family, full composability matrix —
+and writes ONE JSON artifact with per-stage wall-clocks and the variant ×
+dataset accuracy matrix, so rounds can be diffed without re-reading prose
+(VERDICT r2 item 9).
+
+Each stage runs in a FRESH subprocess (clean backend session; stage
+wall-clocks include its compiles, mirroring a cold pipeline run like the
+reference's per-script invocations).
+
+Usage: python tools/run_robustness.py [--out ROBUSTNESS_r03.json]
+         [--workdir DIR] [--n_per_class 24] [--epsilon 24] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         "adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.cli.main",
+         *cli_args], cwd=REPO, text=True, capture_output=True)
+    dt = time.perf_counter() - t0
+    tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-6:])
+    print(f"=== {name}: rc={proc.returncode} {dt:.0f}s\n{tail}", flush=True)
+    stages.append({"stage": name, "seconds": round(dt, 1),
+                   "rc": proc.returncode})
+    if proc.returncode != 0:
+        raise RuntimeError(f"stage {name} failed (rc={proc.returncode})")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="ROBUSTNESS_r03.json")
+    ap.add_argument("--workdir", default="/tmp/apvt_robustness")
+    ap.add_argument("--model", default="google_vit")
+    ap.add_argument("--n_per_class", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--epsilon", type=float, default=24 / 255,
+                    help="whitebox/autoattack eps (flagship uses 24/255 — "
+                         "at the reference's 8/255 the fine-tuned ViT-B is "
+                         "already robust on this corpus, ROBUSTNESS.md)")
+    ap.add_argument("--pgd_steps", type=int, default=30)
+    ap.add_argument("--patch_iters", type=int, default=250)
+    ap.add_argument("--aa_iters", type=int, default=50)
+    ap.add_argument("--aa_queries", type=int, default=500)
+    ap.add_argument("--lora_epochs", type=int, default=4)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny smoke config (vit_test, 32px) for CI-style runs")
+    args = ap.parse_args()
+
+    d = args.workdir
+    os.makedirs(d, exist_ok=True)
+    if args.quick:
+        args.model, image_size = "vit_test", 32
+        args.n_per_class, args.epochs, args.lora_epochs = 4, 1, 1
+        args.pgd_steps, args.patch_iters = 2, 3
+        args.aa_iters, args.aa_queries = 2, 10
+    else:
+        image_size = 224
+
+    ck = os.path.join(d, "train", args.model, "all",
+                      f"{args.model}_best_model_finetuned.safetensors")
+    data, adv, loras, ev = (os.path.join(d, x)
+                            for x in ("data", "adv", "loras", "eval"))
+    stages: list[dict] = []
+    t_total = time.perf_counter()
+
+    run_stage("synth-data", ["synth-data", "--output_dir", data,
+                             "--n_per_class", str(args.n_per_class),
+                             "--image_size", str(image_size)], stages)
+    run_stage("train", ["train", "--data_root", data, "--model", args.model,
+                        "--output_dir", os.path.join(d, "train"),
+                        "--epochs", str(args.epochs), "--batch_size", "32"]
+              + (["--resize", "32"] if args.quick else []), stages)
+    common = ["--data_root", data, "--model", args.model,
+              "--model_path", ck, "--output_dir", adv]
+    run_stage("attack-whitebox", ["attack", *common,
+                                  "--splits", "train", "val", "test",
+                                  "--epsilon", str(args.epsilon),
+                                  "--steps", str(args.pgd_steps),
+                                  "--batch_size", "64"], stages)
+    run_stage("attack-patch", ["patch-attack", *common,
+                               "--splits", "train", "val", "test",
+                               "--patch_type", "circle",
+                               "--max_iter", str(args.patch_iters),
+                               "--batch_size", "24"], stages)
+    run_stage("attack-autoattack", ["autoattack", *common,
+                                    "--splits", "train", "val", "test",
+                                    "--epsilon", str(args.epsilon),
+                                    "--n_iter", str(args.aa_iters),
+                                    "--square_queries", str(args.aa_queries),
+                                    "--batch_size", "64"], stages)
+    families = ["fgsm", "pgd", "patch_circle", "autoattack"]
+    run_stage("train-lora", ["train-lora", "--data_root", data,
+                             "--model", args.model, "--model_path", ck,
+                             "--adv_root", adv, "--output_dir", loras,
+                             "--attacks", *families, "--ranks", "8",
+                             "--epochs", str(args.lora_epochs),
+                             "--batch_size", "32"], stages)
+    run_stage("eval-compose", ["eval-compose", "--data_root", data,
+                               "--model", args.model, "--model_path", ck,
+                               "--adv_root", adv, "--lora_root", loras,
+                               "--output_dir", ev, "--attacks", *families,
+                               "--rank", "8", "--batch_size", "64"], stages)
+
+    results_path = os.path.join(ev, "test_results.json")
+    with open(results_path) as f:
+        matrix = json.load(f)
+
+    artifact = {
+        "config": {"model": args.model, "image_size": image_size,
+                   "n_per_class": args.n_per_class, "epochs": args.epochs,
+                   "epsilon": args.epsilon, "pgd_steps": args.pgd_steps,
+                   "patch_iters": args.patch_iters,
+                   "aa_iters": args.aa_iters,
+                   "aa_queries": args.aa_queries,
+                   "lora_epochs": args.lora_epochs,
+                   "attack_families": families},
+        "stages": stages,
+        "total_seconds": round(time.perf_counter() - t_total, 1),
+        "matrix": matrix,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(f"wrote {args.out} (total {artifact['total_seconds']:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()
