@@ -145,6 +145,14 @@ def imwrite(path: str, img: np.ndarray) -> None:
     if cv2 is not None:
         cv2.imwrite(str(path), img)
         return
+    if str(path).endswith(".png"):
+        from ..utils import native
+
+        if native.available():  # C++ encoder (4.6x PIL, PERF.md)
+            data = native.encode_png_rgb(np.ascontiguousarray(img[..., ::-1]))
+            with open(path, "wb") as f:
+                f.write(data)
+            return
     from PIL import Image
 
     Image.fromarray(img[..., ::-1]).save(path)  # BGR -> RGB

@@ -186,3 +186,17 @@ def test_process_all_driver(tmp_path):
     assert len(idx) == 1
     batch = next(iter(Loader(idx, batch_size=1)))
     assert batch.images.shape == (1, 224, 224, 3)
+
+
+def test_imwrite_native_fallback(tmp_path, monkeypatch):
+    """Without cv2, imwrite must route PNGs through the native encoder (and
+    still produce BGR->RGB-correct, lossless files)."""
+    from PIL import Image
+
+    monkeypatch.setattr(process, "_cv2", lambda: None)
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    path = tmp_path / "out.png"
+    process.imwrite(str(path), rgb[..., ::-1])  # imwrite takes BGR
+    back = np.asarray(Image.open(path).convert("RGB"))
+    np.testing.assert_array_equal(back, rgb)

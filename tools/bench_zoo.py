@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
 from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
 
-DEFAULT_MODELS = ["google_vit", "swin", "convnext", "yolo11-cls"]
+DEFAULT_MODELS = ["google_vit", "dinov1", "swin", "convnext", "yolo11-cls"]
 
 
 def bench_one(name: str, batch: int, steps: int, iters: int,
