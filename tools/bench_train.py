@@ -1,0 +1,157 @@
+"""Train-step throughput bench — the L3/L5 hot loops on real TPU.
+
+BENCH/ZOO cover the attack (PGD) and eval paths; this measures the two
+TRAINING programs the framework ships (reference train.py / train_loras.py
+capabilities) at flagship configuration:
+
+* ``full``  — ViT-B/16 full fine-tune step: AdamW+StepLR, on-device
+  augmentation, donated TrainState (train/steps.make_train_step, exactly as
+  ``train_base_model`` builds it).
+* ``lora``  — rank-8 LoRA adapter step: frozen bf16 base threaded through
+  jit as an argument, PEFT-semantics dropout, Adam (exactly as
+  ``train_lora_adapter`` builds it).
+
+Methodology matches bench.py: programs are warmed once, then ITERS steps are
+CHAINED through the donated state and ONE scalar that data-depends on every
+step (the final loss_sum) is fetched — remote/async backends can no-op
+``block_until_ready`` but cannot fake a dependent scalar fetch.
+
+MFU is ANALYTIC-ESTIMATE ONLY (documented, not a measurement): per-image
+forward ~42 GF (bench.py accounting); full fine-tune backward adds dx (~44)
++ dW (~= forward matmul FLOPs ~42) => ~128 GF/img; LoRA training computes dx
+through the whole net but dW only for rank-8 adapters => ~88 GF/img.
+
+Usage:  python tools/bench_train.py [--json TRAIN_r03.json]
+        [--modes full lora] [--batch 64] [--iters 8] [--no-augment]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_PEAK_TFLOPS = 197.0  # bf16
+GF_PER_IMG = {"full": 128.0, "lora": 88.0}  # analytic, see docstring
+
+
+def bench_mode(mode: str, batch: int, iters: int, augment: bool,
+               tiny: bool = False) -> dict:
+    import jax
+
+    if tiny:  # CPU smoke: the env's sitecustomize pins jax_platforms=axon,cpu
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks.common import IMAGENET
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.augment import train_augment
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import optim
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train.steps import (
+        TrainState, make_train_step)
+
+    if tiny:  # CPU smoke of the plumbing (``--tiny``): vit_test at 32 px
+        cfg = vit.VIT_TEST.with_classes(5)
+    else:
+        cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
+                                  use_fused_attention=True,
+                                  unroll_layers=True)
+    size = cfg.image_size
+
+    @jax.jit
+    def build(rng):
+        return vit.init(rng, cfg)
+
+    rng = jax.random.key(0)
+    params = build(rng)
+    aug = train_augment if augment else None
+    step_rng = jax.random.fold_in(rng, 17)
+
+    if mode == "full":
+        tx = optim.adamw_steplr(1e-4, weight_decay=1e-4, step_size_epochs=20,
+                                gamma=0.1, steps_per_epoch=100)
+        forward = lambda p, x, r=None: vit.apply(cfg, p, x)
+        step = make_train_step(forward, tx, normalize=IMAGENET,
+                               step_rng=step_rng if augment else None,
+                               augment=aug)
+        state = TrainState.create(params, tx)
+    elif mode == "lora":
+        lcfg = lora.LoRAConfig(rank=8, alpha=16.0, dropout=0.1,
+                               targets=vit.LORA_TARGETS_DEFAULT)
+        base = jax.jit(lambda p: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), p))(params)
+        adapter = jax.jit(lambda r: lora.init(r, params, lcfg))(
+            jax.random.fold_in(rng, 1))
+
+        def forward(frozen, trainable, x, drop_rng=None):
+            p = lora.attach(frozen, trainable["adapter"], lcfg,
+                            dropout_rng=drop_rng)
+            return vit.apply(cfg, p, x)
+
+        tx = optim.lora_adam(1e-4)
+        step = make_train_step(forward, tx, normalize=IMAGENET,
+                               step_rng=step_rng, augment=aug, frozen=base)
+        state = TrainState.create({"adapter": adapter}, tx)
+    else:
+        raise ValueError(mode)
+
+    images = jax.device_put(jax.random.uniform(
+        jax.random.fold_in(rng, 2), (batch, size, size, 3), jnp.float32))
+    labels = jax.device_put(jax.random.randint(
+        jax.random.fold_in(rng, 3), (batch,), 0, cfg.num_classes))
+    valid = jax.device_put(jnp.ones((batch,), jnp.float32))
+
+    state, m = step(state, images, labels, valid)  # compile + warmup
+    float(m["loss_sum"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, images, labels, valid)
+    float(m["loss_sum"])  # depends on the final params -> on every step
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    mfu = ips * GF_PER_IMG[mode] * 1e-3 / V5E_PEAK_TFLOPS
+    return {
+        "metric": f"train_step_images_per_sec_per_chip_vitb_{mode}",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "batch": batch,
+        "augment": augment,
+        "mfu_pct_analytic": round(100 * mfu, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--modes", nargs="+", default=["full", "lora"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="vit_test/32px CPU smoke of the plumbing")
+    args = ap.parse_args()
+
+    records = []
+    for mode in args.modes:
+        rec = bench_mode(mode, args.batch, args.iters, not args.no_augment,
+                         tiny=args.tiny)
+        print(json.dumps(rec), flush=True)
+        records.append(rec)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"unit": "images/sec/chip", "device": "TPU v5 lite",
+                       "records": records}, f, indent=2)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,19 +27,43 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+STAGE_TIMEOUT_S = float(os.environ.get("APVT_STAGE_TIMEOUT", "3600"))
+STAGE_ATTEMPTS = int(os.environ.get("APVT_STAGE_ATTEMPTS", "2"))
+
+
 def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
-    t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, "-m",
-         "adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.cli.main",
-         *cli_args], cwd=REPO, text=True, capture_output=True)
-    dt = time.perf_counter() - t0
-    tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-6:])
-    print(f"=== {name}: rc={proc.returncode} {dt:.0f}s\n{tail}", flush=True)
-    stages.append({"stage": name, "seconds": round(dt, 1),
-                   "rc": proc.returncode})
-    if proc.returncode != 0:
-        raise RuntimeError(f"stage {name} failed (rc={proc.returncode})")
+    """One pipeline stage in a fresh subprocess, with a timeout and a retry.
+
+    The remote TPU backend is stateful: a client whose session wedges (e.g.
+    after an earlier abnormal kill) can block forever in a remote call while
+    a FRESH process works fine — the same failure mode that cost round 2 its
+    bench artifact (bench.py docstring). Bound each stage and retry once in
+    a new process before declaring the pipeline dead.
+    """
+    for attempt in range(1, STAGE_ATTEMPTS + 1):
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m",
+                 "adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.cli.main",
+                 *cli_args], cwd=REPO, text=True, capture_output=True,
+                timeout=STAGE_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            dt = time.perf_counter() - t0
+            print(f"=== {name}: TIMEOUT after {dt:.0f}s "
+                  f"(attempt {attempt}/{STAGE_ATTEMPTS})", flush=True)
+            stages.append({"stage": name, "seconds": round(dt, 1),
+                           "rc": "timeout", "attempt": attempt})
+            continue
+        dt = time.perf_counter() - t0
+        tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-6:])
+        print(f"=== {name}: rc={proc.returncode} {dt:.0f}s\n{tail}", flush=True)
+        stages.append({"stage": name, "seconds": round(dt, 1),
+                       "rc": proc.returncode,
+                       **({"attempt": attempt} if attempt > 1 else {})})
+        if proc.returncode == 0:
+            return
+    raise RuntimeError(f"stage {name} failed after {STAGE_ATTEMPTS} attempts")
 
 
 def main() -> None:
