@@ -121,7 +121,8 @@ def cmd_train(args):
         entry, params, loaders["train"], loaders["val"], loaders["test"],
         vocab, out_dir=out_dir, epochs=args.epochs, lr=args.learning_rate,
         weight_decay=args.weight_decay, model_name=args.model, source=source,
-        resume=args.resume, rng=jax.random.key(args.seed))
+        resume=args.resume, resume_save_s=args.resume_save_s,
+        rng=jax.random.key(args.seed))
     print(json.dumps({k: v for k, v in summary.items() if k != "history"},
                      indent=2, default=str))
 
@@ -595,6 +596,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "reference's 256/224 ratio to the model input size)")
     sp.add_argument("--resume", action="store_true",
                     help="continue from {out}/resume.* if present")
+    sp.add_argument("--resume_save_s", type=float, default=600.0,
+                    help="write resume state at most this often (seconds; "
+                         "0 = every epoch). The full TrainState is ~1 GB "
+                         "over the remote-TPU tunnel, so per-epoch saves "
+                         "dominate short-epoch runs")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("attack", help="FGSM/PGD adversarial generation")

@@ -166,6 +166,58 @@ def test_resume_preserves_best_checkpoint(tmp_path):
     assert s2["best_val_accuracy"] >= first_best - 1e-9
 
 
+def test_resume_save_throttle(tmp_path, monkeypatch):
+    """Resume-state writes are time-throttled (the full ViT-B TrainState is
+    ~1 GB over the remote-TPU tunnel; per-epoch saves dominated the flagship
+    train stage's wall-clock): with a large ``resume_save_s`` only the final
+    epoch saves, with 0 every epoch saves — and the final save must still
+    carry the true best params even when the best epoch itself was skipped."""
+    import os
+
+    import jax
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data import synthetic
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import Loader, MetadataIndex
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import loop
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import checkpoint
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+
+    root = str(tmp_path)
+    synthetic.make_synthetic_dataset(root + "/d", n_per_class=4, image_size=32)
+    vocab = LabelVocabulary.from_classes(synthetic.DEFAULT_CLASSES)
+    entry = registry.get_model("vit_test")
+    params = entry.init(jax.random.key(0), entry.config(len(vocab)))
+    mk = lambda s: Loader(MetadataIndex(f"{root}/d/{s}/metadata.csv", vocab),
+                          batch_size=10, image_size=32, resize=32)
+
+    calls = []
+    orig = checkpoint.save_train_state
+    monkeypatch.setattr(loop.checkpoint, "save_train_state",
+                        lambda *a, **k: (calls.append(k["meta"]["epoch"]),
+                                         orig(*a, **k))[1])
+
+    # fresh param copies per run: the jitted train step donates its input
+    # buffers, so a second run cannot reuse the first run's initial tree
+    import jax.numpy as jnp
+
+    loop.train_base_model(entry, jax.tree.map(jnp.copy, params), mk("train"),
+                          mk("val"), None, vocab,
+                          out_dir=root + "/throttled", epochs=3,
+                          resume_save_s=3600.0, log=lambda s: None)
+    assert calls == [2]  # only the final epoch
+    # the (throttled) final save still wrote a best checkpoint
+    assert os.path.exists(os.path.join(root, "throttled",
+                                       "resume.best.safetensors"))
+
+    calls.clear()
+    loop.train_base_model(entry, jax.tree.map(jnp.copy, params), mk("train"),
+                          mk("val"), None, vocab,
+                          out_dir=root + "/eager", epochs=3,
+                          resume_save_s=0.0, log=lambda s: None)
+    assert calls == [0, 1, 2]  # every epoch (pre-throttle behavior)
+
+
 def test_saved_checkpoint_reproduces_in_memory_logits(tmp_path):
     """The saved best checkpoint must produce bitwise-identical logits to
     the in-memory tree it was saved from. Round-2 regression: F-strided
