@@ -127,7 +127,7 @@ def cmd_train(args):
                      indent=2, default=str))
 
 
-def _attack_loaders_and_model(args):
+def _attack_loaders_and_model(args, tpu_dtype="bf16"):
     import jax
 
     from ..attacks.common import Normalizer
@@ -178,6 +178,27 @@ def _attack_loaders_and_model(args):
         if not hasattr(cfg, "use_fused_mlp"):
             raise SystemExit(f"--fused_mlp unsupported for {args.model}")
         cfg = dataclasses.replace(cfg, use_fused_mlp=True)
+    # dtype: "auto" resolves to ``tpu_dtype`` on TPU (bf16 for attack
+    # generation — f32 ViT-B attack programs compile ~6x slower on the
+    # remote backend and run slower; f32 for the training/eval stages whose
+    # exactness contracts matter) and to f32 everywhere else.
+    pdt = getattr(args, "param_dtype", "auto")
+    if pdt == "auto":
+        pdt = tpu_dtype if on_tpu else "f32"
+    if pdt == "bf16":
+        # cast on the HOST (ml_dtypes bf16) so the device_put below uploads
+        # half the bytes in one transfer — jnp.astype per leaf would instead
+        # upload the f32 tree and issue ~200 eager cast dispatches over the
+        # tunnel (~25-80 ms each, verify-skill timing note)
+        import ml_dtypes
+        import numpy as np
+
+        def _cast(x):
+            a = np.asarray(x)
+            return (a.astype(ml_dtypes.bfloat16)
+                    if np.issubdtype(a.dtype, np.floating) else x)
+
+        params = jax.tree.map(_cast, params)
     params = jax.device_put(params)
     normalize = Normalizer(*get_normalization(args.model))
     return entry, cfg, params, vocab, normalize
@@ -422,7 +443,7 @@ def cmd_train_lora(args):
     from ..ops import lora
     from ..train import loop
 
-    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args)
+    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args, tpu_dtype="f32")
     source = "_".join(args.sources) if args.sources else "all"
 
     all_results = {}
@@ -492,7 +513,7 @@ def cmd_eval_compose(args):
     from ..data.loader import Loader, MetadataIndex
     from ..eval import compose
 
-    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args)
+    entry, cfg, params, vocab, normalize = _attack_loaders_and_model(args, tpu_dtype="f32")
     source = "_".join(args.sources) if args.sources else "all"
 
     # clean test loader + auto-discovered attack test sets
@@ -581,6 +602,15 @@ def build_parser() -> argparse.ArgumentParser:
                             help="Pallas fused MLP kernel (TPU; ViT/Swin; "
                                  "hidden activation stays in VMEM; measured "
                                  "neutral-to-negative — off by default)")
+            sp.add_argument("--param_dtype", default="auto",
+                            choices=("auto", "f32", "bf16"),
+                            help="model parameter/compute dtype. auto = "
+                                 "bf16 on TPU for attack generation (the "
+                                 "measured fast path: f32 ViT-B attack "
+                                 "compiles take ~10 min on the remote "
+                                 "backend vs ~100 s bf16), f32 for "
+                                 "train-lora/eval-compose (optimizer and "
+                                 "accuracy-parity exactness) and on CPU")
 
     sp = sub.add_parser("train", help="base fine-tune")
     _common_data_args(sp)
