@@ -124,6 +124,30 @@ def test_vitb_224_full_geometry_forward_parity():
     assert np.abs(ref).max() > 1e-3
 
 
+def test_convnextb_224_full_geometry_forward_parity():
+    """Production ConvNeXt-B @224 (depths 3/3/27/3, dims 128..1024): the
+    full 27-block stage-3 accumulates depthwise-conv + layer-scale error the
+    2-stage/32px fixture (test_backbones.py) cannot; 224px engages the real
+    4x downsample chain 56->28->14->7."""
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import convnext
+
+    torch.manual_seed(0)
+    hf = transformers.ConvNextForImageClassification(
+        transformers.ConvNextConfig(depths=[3, 3, 27, 3],
+                                    hidden_sizes=[128, 256, 512, 1024],
+                                    num_labels=21)).eval()
+    cfg = convnext.ConvNeXtConfig(num_classes=21, compute_dtype="float32")
+    params = hf_import.convnext_params_from_hf(hf.state_dict(), cfg)
+
+    x = (_photo_like(224, 224, 11)[None] / 255.0).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(convnext.apply(cfg, params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+    assert np.abs(ref).max() > 1e-3
+
+
 def test_swinb_224_full_geometry_forward_parity():
     """Production Swin-B @224 (depths 2/2/18/2, window 7): the 224px grid
     exercises every stage's shift mask and the relative-position-bias tables
