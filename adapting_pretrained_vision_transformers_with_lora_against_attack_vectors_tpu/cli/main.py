@@ -185,18 +185,24 @@ def _attack_loaders_and_model(args, tpu_dtype="bf16"):
     pdt = getattr(args, "param_dtype", "auto")
     if pdt == "auto":
         pdt = tpu_dtype if on_tpu else "f32"
-    if pdt == "bf16":
-        # cast on the HOST (ml_dtypes bf16) so the device_put below uploads
-        # half the bytes in one transfer — jnp.astype per leaf would instead
-        # upload the f32 tree and issue ~200 eager cast dispatches over the
-        # tunnel (~25-80 ms each, verify-skill timing note)
+    if pdt in ("bf16", "f32"):
+        # cast on the HOST (ml_dtypes bf16 / np float32) so the device_put
+        # below uploads the final bytes in one transfer — jnp.astype per
+        # leaf would instead upload the source tree and issue ~200 eager
+        # cast dispatches over the tunnel (~25-80 ms each, verify-skill
+        # timing note). f32 upcasts too: a half-precision source checkpoint
+        # (fp16 torch/timm export) must not silently carry fp16 into the
+        # optimizer/accuracy-parity stages.
         import ml_dtypes
         import numpy as np
 
+        target = ml_dtypes.bfloat16 if pdt == "bf16" else np.float32
+
         def _cast(x):
             a = np.asarray(x)
-            return (a.astype(ml_dtypes.bfloat16)
-                    if np.issubdtype(a.dtype, np.floating) else x)
+            return (a.astype(target)
+                    if np.issubdtype(a.dtype, np.floating)
+                    or a.dtype == ml_dtypes.bfloat16 else x)
 
         params = jax.tree.map(_cast, params)
     params = jax.device_put(params)

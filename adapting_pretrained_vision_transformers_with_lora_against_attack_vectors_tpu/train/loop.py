@@ -207,11 +207,14 @@ def train_base_model(
 
     ``resume=True`` continues from ``{out_dir}/resume.*`` (full TrainState:
     params + optimizer + step), written atomically. Resume state is written
-    on the final epoch and otherwise at most every ``resume_save_s`` seconds
-    (0 = every epoch): the full ViT-B TrainState is ~1 GB over the remote-TPU
-    tunnel (~100 s/epoch measured on the flagship run — dwarfing the ~2.4 s
-    device epoch), so crash-recovery durability is time-bounded, not
-    epoch-bounded. Long epochs (> ``resume_save_s``) still save every epoch.
+    on the first epoch completed after (re)start, on the final epoch, and
+    otherwise at most every ``resume_save_s`` seconds (0 = every epoch): the
+    full ViT-B TrainState is ~1 GB over the remote-TPU tunnel (~100 s/epoch
+    measured on the flagship run — dwarfing the ~2.4 s device epoch), so
+    crash-recovery durability is time-bounded, not epoch-bounded — while the
+    first-epoch save guarantees forward progress even under a host that
+    kills the process faster than the throttle interval. Long epochs
+    (> ``resume_save_s``) still save every epoch.
     ``augment=True`` applies the reference's train-time augmentation
     (rotation/resized-crop/flip/color-jitter, train.py:128-135) on device.
     """
@@ -256,7 +259,10 @@ def train_base_model(
         metrics.log("train_start", model=model_name, source=source,
                     epochs=epochs, lr=lr, start_epoch=start_epoch)
 
-        last_save = {"t": time.time(),
+        # t = -inf: the FIRST epoch completed after (re)start always saves —
+        # a host that kills the process every < resume_save_s must still
+        # make one epoch of forward progress per attempt (review finding)
+        last_save = {"t": float("-inf"),
                      "best_epoch": init_best[2] if init_best else -1}
 
         def save_resume(epoch, rec, state, best):

@@ -170,8 +170,9 @@ def test_resume_save_throttle(tmp_path, monkeypatch):
     """Resume-state writes are time-throttled (the full ViT-B TrainState is
     ~1 GB over the remote-TPU tunnel; per-epoch saves dominated the flagship
     train stage's wall-clock): with a large ``resume_save_s`` only the final
-    epoch saves, with 0 every epoch saves — and the final save must still
-    carry the true best params even when the best epoch itself was skipped."""
+    first epoch after start and the final epoch save, with 0 every epoch
+    saves — and the final save must still carry the true best params even
+    when the best epoch itself was skipped."""
     import os
 
     import jax
@@ -205,7 +206,7 @@ def test_resume_save_throttle(tmp_path, monkeypatch):
                           mk("val"), None, vocab,
                           out_dir=root + "/throttled", epochs=3,
                           resume_save_s=3600.0, log=lambda s: None)
-    assert calls == [2]  # only the final epoch
+    assert calls == [0, 2]  # first epoch (crash-loop liveness) + final epoch
     # the (throttled) final save still wrote a best checkpoint
     assert os.path.exists(os.path.join(root, "throttled",
                                        "resume.best.safetensors"))
