@@ -213,6 +213,37 @@ def test_suite_reduces_robust_accuracy(toy_model):
     assert rob_acc < 0.9  # the ensemble must break a meaningful fraction
 
 
+def test_suite_compaction_edges(toy_model):
+    """Survivor compaction (round 3): odd/non-pow2 batch sizes exercise the
+    pad-index gather/scatter path, and rows the model already misclassifies
+    must come back BIT-IDENTICAL to the input (they are never attacked —
+    first-success semantics start from the clean forward pass)."""
+    entry, cfg, params, x, y = toy_model
+    # batch of 13 (pads to the 16-bucket), with some labels deliberately
+    # wrong so several rows start out "already adversarial"
+    x13 = x[:13]
+    y13 = np.asarray(y[:13]).copy()
+    y13[[1, 5, 9]] = (y13[[1, 5, 9]] + 1) % 3  # force initial misclassification
+    y13 = jnp.asarray(y13)
+    pre = np.asarray(
+        jnp.argmax(entry.apply(cfg, params, x13), -1) != y13)
+    assert pre.any(), "fixture must start with some broken rows"
+
+    suite = aa.make_autoattack(
+        entry.apply, cfg,
+        aa.AutoAttackConfig(eps=EPS, n_iter=10, n_target_classes=2,
+                            square_queries=30),
+        normalize=IDENT)
+    x_adv = np.asarray(suite(params, x13, y13, jax.random.key(0)))
+    _check_ball(x_adv, x13, EPS)
+    # initially-broken rows are untouched (never attacked, never scattered)
+    np.testing.assert_array_equal(x_adv[pre], np.asarray(x13)[pre])
+    # robust accuracy can only go down vs the clean pass
+    rob = aa.robust_accuracy(entry.apply, cfg, params, x_adv, y13,
+                             normalize=IDENT)
+    assert rob <= 1.0 - pre.mean() + 1e-6
+
+
 def test_suite_stage_selection(toy_model):
     entry, cfg, params, x, y = toy_model
     one = aa.make_autoattack(
