@@ -184,6 +184,24 @@ def test_square_attack(toy_model):
     assert np.isfinite(np.asarray(m_adv)).all()
 
 
+def test_square_chunked_exit_matches_unchunked(toy_model):
+    """The chunked early-exit (round 3) is a pure wall-clock optimization:
+    with the same rng, any chunk window must produce BIT-IDENTICAL outputs
+    to an effectively-unchunked run (each query past all-adversarial is a
+    provable no-op under the accept rule), including a non-divisor window
+    that exercises the padded tail."""
+    entry, cfg, params, x, y = toy_model
+    outs = []
+    for every in (1, 7, 60):  # 7 does not divide 60 -> padded tail
+        run = square.make_square(
+            entry.apply, cfg,
+            square.SquareConfig(eps=EPS, n_queries=60, exit_check_every=every),
+            normalize=IDENT)
+        outs.append(np.asarray(run(params, x, y, jax.random.key(3))))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_fab_targeted(toy_model):
     entry, cfg, params, x, y = toy_model
     run = fab.make_fab_targeted(
