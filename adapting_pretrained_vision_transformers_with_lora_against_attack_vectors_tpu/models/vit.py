@@ -49,6 +49,12 @@ class ViTConfig:
     # falls back to the XLA composition off-TPU, when the weights exceed the
     # VMEM budget, or when the block carries an unmerged LoRA branch.
     use_fused_mlp: bool = False
+    # Fully-fused attention half-block (kernels/attn_block.py): LN1 + q/k/v
+    # projections + MHA + o-projection in one Pallas program per batch
+    # element — h/q/k/v/attn-out never touch HBM. TPU only, engages only for
+    # plain (merged / no-quant) attention denses in half-precision compute;
+    # falls back to the ``use_fused_attention`` packed path otherwise.
+    fuse_attn_block: bool = False
     # Python-unroll the layer loop instead of lax.scan. The scan's backward
     # saves per-layer residuals via dynamic-update-slice into stacked HBM
     # buffers — profiled at ~26% of PGD runtime on v5e (round-2 trace);
@@ -143,6 +149,20 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
     eps = cfg.layer_norm_eps
     cd = x.dtype
 
+    ap = bp["attn"]
+    if cfg.fuse_attn_block and hd % 32 == 0 and all(
+            "lora_a" not in ap[t] and "w_q" not in ap[t]
+            for t in ("q", "k", "v", "o")):
+        from ..kernels.attn_block import fits_vmem, fused_attn_block
+
+        if jax.default_backend() == "tpu" and fits_vmem(d, nh, n, cd):
+            x = x + fused_attn_block(
+                x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                ap["q"]["w"], ap["q"]["b"], ap["k"]["w"], ap["k"]["b"],
+                ap["v"]["w"], ap["v"]["b"], ap["o"]["w"], ap["o"]["b"],
+                nh, eps)
+            return _mlp_half(cfg, bp, x)
+
     h = layer_norm(bp["ln1"], x, eps=eps)
     if cfg.use_fused_attention:
         # Packed layout: the q/k/v dense outputs (B, N, C) feed the kernel
@@ -161,8 +181,13 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
         v = dense(bp["attn"]["v"], h, compute_dtype=cd).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         attn_out = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, d)
     x = x + dense(bp["attn"]["o"], attn_out, compute_dtype=cd)
+    return _mlp_half(cfg, bp, x)
 
-    h = layer_norm(bp["ln2"], x, eps=eps)
+
+def _mlp_half(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
+    """x + MLP(LN2(x)) — shared by both attention-path variants."""
+    cd = x.dtype
+    h = layer_norm(bp["ln2"], x, eps=cfg.layer_norm_eps)
     fc1, fc2 = bp["mlp"]["fc1"], bp["mlp"]["fc2"]
     if (cfg.use_fused_mlp and "lora_a" not in fc1 and "lora_a" not in fc2
             and "w_q" not in fc1 and "w_q" not in fc2):

@@ -62,6 +62,11 @@ is the headline because it is the form the reference evaluates and deploys
 BENCH_VARIANT=int8 attacks with int8-quantized dense weights (bf16
 accumulate) — the precision-reduced path past the bf16 roofline; see
 PERF.md "int8 attack path".
+BENCH_VARIANT=fusedblock routes the attention half-block through the
+fully-fused LN1+QKV+MHA+O Pallas kernel (kernels/attn_block.py) — merged
+params otherwise identical to the default; candidate to replace the packed
+kernel if it measures faster (unmeasured: built while the chip was
+unreachable, see NOTES_NEXT_ROUND.md).
 
 Per-backbone zoo numbers live in `tools/bench_zoo.py --json` (committed as
 ZOO_r*.json); this file keeps the driver contract of one JSON line.
@@ -102,7 +107,8 @@ def measure() -> None:
     fused_mlp = os.environ.get("BENCH_FUSED_MLP", "0") == "1"
     cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
                               use_fused_attention=True, unroll_layers=True,
-                              use_fused_mlp=fused_mlp)
+                              use_fused_mlp=fused_mlp,
+                              fuse_attn_block=(variant == "fusedblock"))
     lcfg = lora.LoRAConfig(rank=8, alpha=16.0, targets=vit.LORA_TARGETS_DEFAULT)
 
     # One jitted setup program (eager init would cost hundreds of per-op

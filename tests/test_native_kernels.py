@@ -374,3 +374,103 @@ def test_native_png_encode_roundtrip_lossless(lib):
         np.testing.assert_array_equal(
             np.asarray(Image.open(io.BytesIO(data)).convert("RGB")), img)
         np.testing.assert_array_equal(lib.decode_png_rgb(data), img)
+
+
+# --- Pallas fused attention half-block (interpret mode) ----------------------
+
+def _attn_block_args(rng, B=2, N=37, H=3, HD=32):
+    """Random (x, ln, q/k/v/o weight+bias) tuple at a non-tile-aligned N."""
+    C = H * HD
+    r = lambda i, shape, s=1.0: jax.random.normal(
+        jax.random.fold_in(rng, i), shape) * s
+    x = r(0, (B, N, C))
+    ln_scale = 1.0 + 0.1 * r(1, (C,))
+    ln_bias = 0.1 * r(2, (C,))
+    ws = [r(3 + i, (C, C), 0.1) for i in range(4)]
+    bs = [r(7 + i, (C,), 0.1) for i in range(4)]
+    return (x, ln_scale, ln_bias, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+            ws[3], bs[3])
+
+
+def test_fused_attn_block_interpret_parity():
+    """LN1+QKV+MHA+O fused kernel: forward parity vs the XLA composition."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import attn_block as kab
+
+    args = _attn_block_args(jax.random.key(0))
+    with pltpu.force_tpu_interpret_mode():
+        o = kab.fused_attn_block(*args, 3, 1e-6)
+        ref = kab.attn_block_reference(*args, 3, 1e-6)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attn_block_interpret_grads():
+    """dx (the attack path, in-kernel) AND every parameter grad (the train
+    path, XLA recompute in the VJP rule) match autodiff of the XLA
+    composition."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import attn_block as kab
+
+    args = _attn_block_args(jax.random.key(7))
+    idx = tuple(range(11))
+    loss = lambda f: lambda *a: jnp.sum(f(*a, 3, 1e-6) ** 2)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss(kab.fused_attn_block), argnums=idx)(*args)
+        g_ref = jax.grad(loss(kab.attn_block_reference), argnums=idx)(*args)
+        for got, want in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-4, rtol=1e-3)
+
+
+def test_fused_attn_block_vit_flag_interpret(monkeypatch):
+    """ViTConfig.fuse_attn_block routes through the kernel (TPU dispatch
+    pretended via monkeypatch) and matches the plain model, forward and
+    input-gradient (the PGD direction)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+
+    cfg = dataclasses.replace(vit.VIT_TEST, fuse_attn_block=True)
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    ref = vit.apply(vit.VIT_TEST, params, x)
+    g_ref = jax.grad(lambda im: jnp.sum(vit.apply(vit.VIT_TEST, params, im)))(x)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        out = vit.apply(cfg, params, x)
+        g = jax.grad(lambda im: jnp.sum(vit.apply(cfg, params, im)))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_fused_attn_block_falls_back_with_lora(monkeypatch):
+    """Unmerged LoRA leaves on the attention denses must disable the fused
+    block (its kernel has no adapter branch) — output must still include the
+    adapter contribution."""
+    import dataclasses
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
+
+    cfg = dataclasses.replace(vit.VIT_TEST, fuse_attn_block=True)
+    params = vit.init(jax.random.key(0), cfg)
+    lcfg = lora.LoRAConfig(rank=4, alpha=8.0, targets=vit.LORA_TARGETS_DEFAULT)
+    adapter = lora.init(jax.random.key(2), params, lcfg)
+    # make B nonzero so the adapter branch actually contributes
+    adapter = {p: {"a": f["a"],
+                   "b": jax.random.normal(jax.random.key(3), f["b"].shape) * 0.1}
+               for p, f in adapter.items()}
+    attached = lora.attach(params, adapter, lcfg)
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = vit.apply(cfg, attached, x)
+    ref = vit.apply(vit.VIT_TEST, attached, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
