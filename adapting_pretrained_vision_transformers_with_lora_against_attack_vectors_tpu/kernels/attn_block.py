@@ -207,13 +207,10 @@ def _bwd_rule(heads, eps, res, g):
     # by XLA) when the caller differentiates only wrt x — the attack path.
     b, n, c = x.shape
     hd = c // heads
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    normed = xc * jax.lax.rsqrt(var + eps)
-    h = (normed * ln_scale.astype(jnp.float32)
-         + ln_bias.astype(jnp.float32)).astype(cd)
+    # _ln_f32 works on plain arrays too ([...] is identity) — one copy of
+    # the LN numerics shared with the kernels.
+    normed, _, h_f32 = _ln_f32(x.astype(jnp.float32), ln_scale, ln_bias, eps)
+    h = h_f32.astype(cd)
 
     def attn_from_h(h_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_):
         proj = lambda w, bias: (jnp.dot(h_, w, preferred_element_type=jnp.float32)
@@ -246,18 +243,24 @@ def _bwd_rule(heads, eps, res, g):
 fused_attn_block.defvjp(_fwd_rule, _bwd_rule)
 
 
-# Four (C, C) weights + LN/bias rows + peak working set (backward: two
-# (H, N, N) f32 score-shaped buffers + q/k/v/dq/dk/dv head stacks + f32
-# normed/dh). Same ~14 MB budget as kernels/mlp.py.
+# Four (C, C) weights + LN/bias rows + peak working set. The backward's
+# peak-liveness moment (computing ds from p and dp) holds two (H, N, N) f32
+# score buffers with ds able to reuse p's slot once p dies — the estimate
+# below ASSUMES Mosaic's liveness-based buffer reuse delivers that; it is
+# an estimate, not a proof, which is why the first hardware run goes through
+# tools/tpu_parity_attn_block.py (a VMEM overflow is a loud compile error on
+# an opt-in path, never silent corruption). Same ~14 MB budget as
+# kernels/mlp.py. bf16 ViT-B totals ~13.8 MB; f32 ViT-B is far out.
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
 def fits_vmem(c: int, heads: int, n: int, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     weights = 4 * c * c * itemsize
-    scores = 2 * heads * n * n * 4
-    stacks = 7 * n * c * itemsize  # q/k/v + dq/dk/dv head stacks + x block
-    f32_rows = 3 * n * c * 4  # normed, dh, dx in f32
+    scores = 2 * heads * n * n * 4  # p + dp f32 (ds reuses p, see above)
+    # q/k/v + dq/dk/dv + dah head stacks + x and dy token blocks
+    stacks = 9 * n * c * itemsize
+    f32_rows = 5 * n * c * 4  # normed, h, da, dh, dx in f32
     return weights + scores + stacks + f32_rows <= _VMEM_BUDGET_BYTES
 
 

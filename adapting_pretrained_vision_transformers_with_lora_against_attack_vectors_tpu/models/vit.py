@@ -150,9 +150,13 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
     cd = x.dtype
 
     ap = bp["attn"]
-    if cfg.fuse_attn_block and hd % 32 == 0 and all(
-            "lora_a" not in ap[t] and "w_q" not in ap[t]
-            for t in ("q", "k", "v", "o")):
+    # Half-precision only: the kernel's hardware validation surface is bf16
+    # (tools/tpu_parity_attn_block.py) — enforce the documented invariant
+    # rather than relying on f32 happening to fail the VMEM estimate.
+    if (cfg.fuse_attn_block and hd % 32 == 0
+            and jnp.dtype(cd).itemsize == 2 and all(
+                "lora_a" not in ap[t] and "w_q" not in ap[t]
+                for t in ("q", "k", "v", "o"))):
         from ..kernels.attn_block import fits_vmem, fused_attn_block
 
         if jax.default_backend() == "tpu" and fits_vmem(d, nh, n, cd):

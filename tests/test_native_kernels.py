@@ -435,19 +435,30 @@ def test_fused_attn_block_vit_flag_interpret(monkeypatch):
 
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
 
-    cfg = dataclasses.replace(vit.VIT_TEST, fuse_attn_block=True)
+    # the fused block engages only in half-precision compute (its hardware
+    # validation surface) — run both configs at bf16 so the comparison is
+    # kernel-vs-XLA, not dtype-vs-dtype
+    base = dataclasses.replace(vit.VIT_TEST, compute_dtype="bfloat16")
+    cfg = dataclasses.replace(base, fuse_attn_block=True)
     params = vit.init(jax.random.key(0), cfg)
     x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
-    ref = vit.apply(vit.VIT_TEST, params, x)
-    g_ref = jax.grad(lambda im: jnp.sum(vit.apply(vit.VIT_TEST, params, im)))(x)
+    ref = vit.apply(base, params, x)
+    g_ref = jax.grad(lambda im: jnp.sum(vit.apply(base, params, im)))(x)
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import attn_block as kab
+
+    calls = []
+    orig = kab.fused_attn_block
+    monkeypatch.setattr(kab, "fused_attn_block",
+                        lambda *a: (calls.append(1), orig(*a))[1])
     with pltpu.force_tpu_interpret_mode():
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         out = vit.apply(cfg, params, x)
         g = jax.grad(lambda im: jnp.sum(vit.apply(cfg, params, im)))(x)
+    assert calls, "dispatch did not take the fused kernel path"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=1e-4, rtol=1e-3)
+                               atol=2e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
-                               atol=1e-4, rtol=1e-3)
+                               atol=2e-2, rtol=2e-2)
 
 
 def test_fused_attn_block_falls_back_with_lora(monkeypatch):
