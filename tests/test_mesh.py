@@ -106,3 +106,79 @@ def test_sharded_train_step_matches_single_device(eight_devices):
     # reduction-order noise up to ~lr; bound by 2*lr
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=2.5e-3), s_ref.params, s2.params)
+
+
+def test_sharded_apgd_matches_single_device(eight_devices):
+    """APGD-CE (the AutoAttack workhorse) under a DP mesh reproduces the
+    single-device adversarial batch — step-size halving checkpoints, EMA
+    trackers and all (SURVEY §2.2: every stage is SPMD)."""
+    from apvt_lora.attacks.autoattack import apgd
+    from apvt_lora.attacks.common import Normalizer
+
+    m = pmesh.make_mesh(pmesh.MeshSpec(data=8, model=1))
+    cfg = vit.VIT_TEST
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (16, 32, 32, 3))
+    y = jax.random.randint(jax.random.key(2), (16,), 0, cfg.num_classes)
+    run = apgd.make_apgd(vit.apply, cfg,
+                         apgd.APGDConfig(eps=8 / 255, n_iter=6, loss="ce"),
+                         normalize=Normalizer((0,) * 3, (1,) * 3))
+
+    ref_adv, ref_f = run(params, x, y, jax.random.key(9))
+    x_sh, y_sh = pmesh.shard_batch(m, np.asarray(x), np.asarray(y))
+    params_sh = jax.device_put(params, pmesh.replicated(m))
+    adv, f = run(params_sh, x_sh, y_sh, jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(ref_adv), np.asarray(adv), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref_f), np.asarray(f), atol=1e-4)
+    assert adv.sharding.spec[0] == "data"
+
+
+def test_sharded_square_matches_single_device(eight_devices):
+    """Square (black-box, per-example random queries + the chunked
+    early-exit while_loop) under a DP mesh == single device."""
+    from apvt_lora.attacks.autoattack import square
+    from apvt_lora.attacks.common import Normalizer
+
+    m = pmesh.make_mesh(pmesh.MeshSpec(data=8, model=1))
+    cfg = vit.VIT_TEST
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (16, 32, 32, 3))
+    y = jax.random.randint(jax.random.key(2), (16,), 0, cfg.num_classes)
+    run = square.make_square(
+        vit.apply, cfg,
+        square.SquareConfig(eps=8 / 255, n_queries=24, exit_check_every=8),
+        normalize=Normalizer((0,) * 3, (1,) * 3))
+
+    ref = run(params, x, y, jax.random.key(9))
+    x_sh, y_sh = pmesh.shard_batch(m, np.asarray(x), np.asarray(y))
+    params_sh = jax.device_put(params, pmesh.replicated(m))
+    adv = run(params_sh, x_sh, y_sh, jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(adv), atol=2e-5)
+
+
+def test_sharded_patch_train_matches_single_device(eight_devices):
+    """EOT patch training under a DP mesh: the shared patch (optimized with
+    batch-mean gradients -> psum across shards, minibatch gathers across the
+    sharded sample pool) matches single-device training."""
+    from apvt_lora.attacks import patch as patch_mod
+    from apvt_lora.attacks.common import Normalizer
+
+    m = pmesh.make_mesh(pmesh.MeshSpec(data=8, model=1))
+    cfg = vit.VIT_TEST
+    params = vit.init(jax.random.key(0), cfg)
+    images = jax.random.uniform(jax.random.key(1), (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.key(2), (16,), 0, cfg.num_classes)
+    pcfg = patch_mod.PatchConfig(patch_size=8, iters=5, batch_size=4,
+                                 learning_rate=0.1, scale_min=0.4,
+                                 scale_max=0.7)
+    train = patch_mod.make_train_patch(vit.apply, cfg, pcfg,
+                                       normalize=Normalizer((0,) * 3, (1,) * 3))
+
+    ref_patch, ref_losses = train(params, images, labels, jax.random.key(9))
+    im_sh, lb_sh = pmesh.shard_batch(m, np.asarray(images), np.asarray(labels))
+    params_sh = jax.device_put(params, pmesh.replicated(m))
+    patch, losses = train(params_sh, im_sh, lb_sh, jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(ref_losses), np.asarray(losses),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref_patch), np.asarray(patch),
+                               atol=5e-3)
