@@ -27,6 +27,8 @@ no unmerged-LoRA branch).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -205,3 +207,182 @@ def mlp_reference(x, w1, b1, w2, b2):
     h = _gelu_f32(pre).astype(x.dtype)
     return (jnp.dot(h, w2.astype(x.dtype),
                     preferred_element_type=jnp.float32) + b2).astype(x.dtype)
+
+
+# --- LN2-fused variant (round-3 continuation) --------------------------------
+#
+# Companion to kernels/attn_block.py: with the attention half-block fused,
+# the only remaining per-layer elementwise HBM round trips are LN2 and its
+# (tokens, D) output h feeding fc1. This variant folds the LayerNorm into
+# the same token-blocked kernel (LN is row-local, so it fits the streaming
+# structure unchanged); together the encoder block becomes exactly two
+# Pallas programs + two residual adds. Same backward contract as fused_mlp:
+# the kernel computes ONLY dx (recomputing LN + pre in-VMEM, then chaining
+# MLP-bwd -> LN-bwd); weight/bias/LN-parameter grads are XLA recomputes in
+# the VJP rule, dead-code-eliminated in the attack path.
+#
+# Token blocks are halved (RB=64) versus fused_mlp: the in-kernel f32
+# xf/normed rows add ~RB*D*8 bytes to the working set, and D*M weights plus
+# the block must stay inside the same ~14 MB budget (bf16 ViT-B: 9.4 MB
+# weights + ~2.6 MB block working set).
+
+_RB_LN = 64
+
+
+def _ln_rows(x, scale_row, bias_row, eps: float):
+    """f32 row LayerNorm (ops.nn.layer_norm numerics); returns normed, rstd, h."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    normed = xc * rstd
+    h = normed * scale_row.astype(jnp.float32) + bias_row.astype(jnp.float32)
+    return normed, rstd, h
+
+
+def _ln_fwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   o_ref, *, eps: float):
+    x = x_ref[...]  # (RB, D)
+    _, _, h = _ln_rows(x, s_ref[...], t_ref[...], eps)
+    h = h.astype(x.dtype)
+    pre = jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
+    pre = pre + b1_ref[...].astype(jnp.float32)
+    a = _gelu_f32(pre, erf=_erf_poly).astype(x.dtype)
+    y = jnp.dot(a, w2_ref[...], preferred_element_type=jnp.float32)
+    y = y + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _ln_bwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, dy_ref,
+                   dx_ref, *, eps: float):
+    x = x_ref[...]
+    dy = dy_ref[...]
+    normed, rstd, h = _ln_rows(x, s_ref[...], t_ref[...], eps)
+    h_cd = h.astype(x.dtype)
+    pre = jnp.dot(h_cd, w1_ref[...], preferred_element_type=jnp.float32)
+    pre = pre + b1_ref[...].astype(jnp.float32)
+    da = jax.lax.dot_general(dy, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpre = (da * _gelu_grad_f32(pre, erf=_erf_poly)).astype(x.dtype)
+    dh = jax.lax.dot_general(dpre, w1_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dn = dh * s_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(dn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dn * normed, axis=-1, keepdims=True)
+    dx = rstd * (dn - m1 - normed * m2)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _ln_call(x2, dy2, scale, bias, w1, b1, w2, b2, eps: float):
+    t_pad, d = x2.shape
+    m = w1.shape[1]
+    grid = (t_pad // _RB_LN,)
+    tok = lambda ch: pl.BlockSpec((_RB_LN, ch), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    if dy2 is None:
+        return pl.pallas_call(
+            functools.partial(_ln_fwd_kernel, eps=eps),
+            out_shape=jax.ShapeDtypeStruct((t_pad, d), x2.dtype),
+            grid=grid,
+            in_specs=[tok(d), full(1, d), full(1, d), full(d, m), full(1, m),
+                      full(m, d), full(1, d)],
+            out_specs=tok(d),
+        )(x2, scale, bias, w1, b1, w2, b2)
+    return pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((t_pad, d), x2.dtype),
+        grid=grid,
+        in_specs=[tok(d), full(1, d), full(1, d), full(d, m), full(1, m),
+                  full(m, d), tok(d)],
+        out_specs=tok(d),
+    )(x2, scale, bias, w1, b1, w2, dy2)
+
+
+def _ln_prep(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    cd = x.dtype
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    return (row(ln_scale), row(ln_bias), w1.astype(cd), row(b1),
+            w2.astype(cd), row(b2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                 w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
+                 eps: float) -> jax.Array:
+    """``gelu_exact(LN(x) @ w1 + b1) @ w2 + b2`` — the pre-residual MLP
+    half-block with the LayerNorm folded in. ``x``: (..., D)."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    t_pad = round_up(x2.shape[0], _RB_LN)
+    scale, bias, w1c, b1r, w2c, b2r = _ln_prep(x, ln_scale, ln_bias, w1, b1,
+                                               w2, b2)
+    y = _ln_call(_pad_rows(x2, t_pad), None, scale, bias, w1c, b1r, w2c, b2r,
+                 eps)
+    return y[: x2.shape[0]].reshape(*lead, d)
+
+
+def _ln_fwd_rule(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    return (fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps),
+            (x, ln_scale, ln_bias, w1, b1, w2, b2))
+
+
+def _ln_bwd_rule(eps, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    cd = x.dtype
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    g2 = g.reshape(-1, d).astype(cd)
+    t_pad = round_up(x2.shape[0], _RB_LN)
+    scale, bias, w1c, b1r, w2c, b2r = _ln_prep(x, ln_scale, ln_bias, w1, b1,
+                                               w2, b2)
+    dx = _ln_call(_pad_rows(x2, t_pad), _pad_rows(g2, t_pad), scale, bias,
+                  w1c, b1r, w2c, None, eps)
+    dx = dx[: x2.shape[0]].reshape(x.shape)
+
+    # Parameter grads: XLA recompute with the kernel's exact numerics (f32
+    # LN, cd casts, A&S erf); DCE'd when only dx is consumed (attack path).
+    normed, _, h = _ln_rows(x2, scale, bias, eps)
+    h_cd = h.astype(cd)
+    pre = jnp.dot(h_cd, w1c, preferred_element_type=jnp.float32)
+    pre = pre + b1r.astype(jnp.float32)
+    a = _gelu_f32(pre, erf=_erf_poly)
+    dh2 = jnp.dot(g2, w2c.T, preferred_element_type=jnp.float32)
+    dpre = dh2 * _gelu_grad_f32(pre, erf=_erf_poly)
+    dw1 = jnp.dot(h_cd.T, dpre.astype(cd),
+                  preferred_element_type=jnp.float32).astype(w1.dtype)
+    db1 = jnp.sum(dpre, axis=0).astype(b1.dtype)
+    dw2 = jnp.dot(a.astype(cd).T, g2,
+                  preferred_element_type=jnp.float32).astype(w2.dtype)
+    db2 = jnp.sum(g2.astype(jnp.float32), axis=0).astype(b2.dtype)
+    dh_full = jnp.dot(dpre.astype(cd), w1c.T,
+                      preferred_element_type=jnp.float32)
+    dscale = jnp.sum(dh_full * normed, axis=0).astype(ln_scale.dtype)
+    dbias = jnp.sum(dh_full, axis=0).astype(ln_bias.dtype)
+    return dx, dscale, dbias, dw1, db1, dw2, db2
+
+
+fused_ln_mlp.defvjp(_ln_fwd_rule, _ln_bwd_rule)
+
+
+def fits_vmem_ln(d: int, m: int, dtype) -> bool:
+    """VMEM estimate for the LN-fused variant (RB=64 token blocks)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    weights = 2 * d * m * itemsize
+    # x/dy/dx blocks + f32 xf/normed/dh rows + f32 pre/da + cd hidden
+    block = _RB_LN * (3 * d * itemsize + 3 * d * 4 + 2 * m * 4 + m * itemsize)
+    return weights + block <= _VMEM_BUDGET_BYTES
+
+
+def ln_mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    """XLA composition (ops.nn numerics) for parity tests."""
+    from ..ops.nn import layer_norm
+
+    h = layer_norm({"scale": ln_scale, "bias": ln_bias}, x, eps=eps)
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    return mlp_reference(h.reshape(-1, d), w1, b1, w2, b2).reshape(*lead, d)

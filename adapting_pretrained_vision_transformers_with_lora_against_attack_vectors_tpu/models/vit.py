@@ -191,8 +191,20 @@ def _encoder_block(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
 def _mlp_half(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
     """x + MLP(LN2(x)) — shared by both attention-path variants."""
     cd = x.dtype
-    h = layer_norm(bp["ln2"], x, eps=cfg.layer_norm_eps)
     fc1, fc2 = bp["mlp"]["fc1"], bp["mlp"]["fc2"]
+    # Fully-fused block mode (cfg.fuse_attn_block): fold LN2 into the MLP
+    # kernel too, so the whole encoder block is two Pallas programs + two
+    # residual adds. Same eligibility rules as the attention half.
+    if (cfg.fuse_attn_block and jnp.dtype(cd).itemsize == 2 and all(
+            "lora_a" not in f and "w_q" not in f for f in (fc1, fc2))):
+        from ..kernels.mlp import fits_vmem_ln, fused_ln_mlp
+
+        if (jax.default_backend() == "tpu"
+                and fits_vmem_ln(cfg.hidden_dim, cfg.mlp_dim, cd)):
+            return x + fused_ln_mlp(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                                    fc1["w"], fc1["b"], fc2["w"], fc2["b"],
+                                    cfg.layer_norm_eps).astype(cd)
+    h = layer_norm(bp["ln2"], x, eps=cfg.layer_norm_eps)
     if (cfg.use_fused_mlp and "lora_a" not in fc1 and "lora_a" not in fc2
             and "w_q" not in fc1 and "w_q" not in fc2):
         from ..kernels.mlp import fits_vmem, fused_mlp

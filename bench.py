@@ -62,11 +62,13 @@ is the headline because it is the form the reference evaluates and deploys
 BENCH_VARIANT=int8 attacks with int8-quantized dense weights (bf16
 accumulate) — the precision-reduced path past the bf16 roofline; see
 PERF.md "int8 attack path".
-BENCH_VARIANT=fusedblock routes the attention half-block through the
-fully-fused LN1+QKV+MHA+O Pallas kernel (kernels/attn_block.py) — merged
-params otherwise identical to the default; candidate to replace the packed
-kernel if it measures faster (unmeasured: built while the chip was
-unreachable, see NOTES_NEXT_ROUND.md).
+BENCH_VARIANT=fusedblock runs the fully-fused encoder block: the attention
+half through the LN1+QKV+MHA+O kernel (kernels/attn_block.py) and the MLP
+half through the LN2-fused MLP kernel (kernels/mlp.py:fused_ln_mlp) — two
+Pallas programs + two residual adds per layer, merged params otherwise
+identical to the default; candidate to replace the packed-kernel config if
+it measures faster (unmeasured: built while the chip was unreachable, see
+NOTES_NEXT_ROUND.md).
 
 Per-backbone zoo numbers live in `tools/bench_zoo.py --json` (committed as
 ZOO_r*.json); this file keeps the driver contract of one JSON line.

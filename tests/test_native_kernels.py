@@ -485,3 +485,74 @@ def test_fused_attn_block_falls_back_with_lora(monkeypatch):
     ref = vit.apply(vit.VIT_TEST, attached, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+# --- Pallas LN2-fused MLP (interpret mode) ------------------------------------
+
+def test_fused_ln_mlp_interpret_parity():
+    """LN2+MLP fused kernel: forward + every grad vs the XLA composition."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import mlp as km
+
+    rng = jax.random.key(11)
+    d, m = 32, 128
+    r = lambda i, shape, s=1.0: jax.random.normal(
+        jax.random.fold_in(rng, i), shape) * s
+    x = r(0, (2, 35, d))  # 70 tokens: not an RB multiple
+    ln_scale = 1.0 + 0.1 * r(1, (d,))
+    ln_bias = 0.1 * r(2, (d,))
+    w1 = r(3, (d, m), 0.1)
+    b1 = r(4, (m,), 0.1)
+    w2 = r(5, (m, d), 0.1)
+    b2 = r(6, (d,), 0.1)
+    args = (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+    with pltpu.force_tpu_interpret_mode():
+        o = km.fused_ln_mlp(*args, 1e-6)
+        ref = km.ln_mlp_reference(*args, 1e-6)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+        loss = lambda f: lambda *a: jnp.sum(f(*a, 1e-6) ** 2)
+        idx = tuple(range(7))
+        g = jax.grad(loss(km.fused_ln_mlp), argnums=idx)(*args)
+        g_ref = jax.grad(loss(km.ln_mlp_reference), argnums=idx)(*args)
+        for got, want in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-4, rtol=1e-3)
+
+
+def test_fully_fused_block_vit_flag_interpret(monkeypatch):
+    """In fully-fused block mode BOTH halves route through their kernels
+    (spied) and the model matches the plain path, forward and input-grad."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import attn_block as kab
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import mlp as km
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+
+    base = dataclasses.replace(vit.VIT_TEST, compute_dtype="bfloat16")
+    cfg = dataclasses.replace(base, fuse_attn_block=True)
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    ref = vit.apply(base, params, x)
+    g_ref = jax.grad(lambda im: jnp.sum(vit.apply(base, params, im)))(x)
+
+    calls = {"attn": 0, "mlp": 0}
+    orig_a, orig_m = kab.fused_attn_block, km.fused_ln_mlp
+    monkeypatch.setattr(kab, "fused_attn_block", lambda *a: (
+        calls.__setitem__("attn", calls["attn"] + 1), orig_a(*a))[1])
+    monkeypatch.setattr(km, "fused_ln_mlp", lambda *a: (
+        calls.__setitem__("mlp", calls["mlp"] + 1), orig_m(*a))[1])
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        out = vit.apply(cfg, params, x)
+        g = jax.grad(lambda im: jnp.sum(vit.apply(cfg, params, im)))(x)
+    assert calls["attn"] and calls["mlp"], calls
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=2e-2, rtol=2e-2)

@@ -100,6 +100,37 @@ def main() -> int:
 
     bench(fused_dx, "fused_fwd_dx")
     bench(ref_dx, "xla_fwd_dx")
+
+    # LN2-fused MLP half (kernels/mlp.py:fused_ln_mlp) — same treatment.
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import (  # noqa: E402
+        mlp as km,
+    )
+
+    @jax.jit
+    def build_mlp(rng):
+        r = lambda i, shape, s=1.0: (jax.random.normal(
+            jax.random.fold_in(rng, i), shape) * s)
+        return (1.0 + 0.1 * r(0, (C,)), 0.1 * r(1, (C,)),
+                r(2, (C, 4 * C), 0.03), 0.05 * r(3, (4 * C,)),
+                r(4, (4 * C, C), 0.03), 0.05 * r(5, (C,)))
+
+    margs = build_mlp(jax.random.key(1))
+    mfused_dx = jax.jit(jax.grad(
+        lambda x_: jnp.sum(km.fused_ln_mlp(x_, *margs, EPS)
+                           .astype(jnp.float32) * g.astype(jnp.float32))))
+    mref_dx = jax.jit(jax.grad(
+        lambda x_: jnp.sum(km.ln_mlp_reference(x_, *margs, EPS)
+                           .astype(jnp.float32) * g.astype(jnp.float32))))
+    d_mfwd = maxdiff(jax.jit(lambda x_: km.fused_ln_mlp(x_, *margs, EPS))(x),
+                     jax.jit(lambda x_: km.ln_mlp_reference(x_, *margs, EPS))(x))
+    d_mdx = maxdiff(mfused_dx(x), mref_dx(x))
+    mok = d_mfwd <= 2e-2 and d_mdx <= 5e-2
+    print(json.dumps({"metric": "ln_mlp_hw_parity", "fwd_maxdiff": d_mfwd,
+                      "dx_maxdiff": d_mdx, "ok": mok}))
+    if not mok:
+        return 1
+    bench(mfused_dx, "ln_mlp_fused_fwd_dx")
+    bench(mref_dx, "ln_mlp_xla_fwd_dx")
     return 0
 
 
