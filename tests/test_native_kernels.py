@@ -556,3 +556,35 @@ def test_fully_fused_block_vit_flag_interpret(monkeypatch):
                                atol=2e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_fully_fused_block_inside_pgd_scan(monkeypatch):
+    """The bench's fusedblock composition: both custom-VJP kernels inside
+    the jitted PGD lax.scan produce a valid adversarial batch (ball
+    containment + finite) and actually raise the loss."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks.common import Normalizer
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+
+    cfg = dataclasses.replace(vit.VIT_TEST, compute_dtype="bfloat16",
+                              fuse_attn_block=True)
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (4, 32, 32, 3))
+    y = jax.random.randint(jax.random.key(2), (4,), 0, cfg.num_classes)
+    eps = 8 / 255
+    run = whitebox.make_pgd(vit.apply, cfg, eps=eps, alpha=3 / 255, steps=3,
+                            normalize=Normalizer((0,) * 3, (1,) * 3))
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        adv = np.asarray(run(params, x, y, jax.random.key(9)))
+        ce = lambda im: np.asarray(jax.vmap(
+            lambda l, t: -jax.nn.log_softmax(l)[t])(
+                vit.apply(cfg, params, jnp.asarray(im)), y)).mean()
+        assert np.isfinite(adv).all()
+        assert np.abs(adv - np.asarray(x)).max() <= eps + 1e-5
+        assert adv.min() >= -1e-6 and adv.max() <= 1 + 1e-6
+        assert ce(adv) > ce(np.asarray(x))  # ascent happened through the kernels
