@@ -37,13 +37,14 @@ DEFAULT_MODELS = ["google_vit", "dinov1", "swin", "convnext", "yolo11-cls"]
 
 
 def bench_one(name: str, batch: int, steps: int, iters: int,
-              fused: bool) -> float:
+              fused: bool, fused_block: bool = False) -> float:
     entry = registry.get_model(name)
     cfg = entry.config(21)
     # fused MLP measured performance-neutral-to-slightly-negative (the MLP
     # is compute-bound; XLA pipelines the two big matmuls better than the
     # RB-blocked kernel) — not enabled by default here or in bench.py.
-    for flag, val in (("unroll_layers", True), ("use_fused_attention", fused)):
+    for flag, val in (("unroll_layers", True), ("use_fused_attention", fused),
+                      ("fuse_attn_block", fused_block)):
         if hasattr(cfg, flag):
             cfg = dataclasses.replace(cfg, **{flag: val})
 
@@ -79,6 +80,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--fused-block", action="store_true",
+                    help="fully-fused encoder block (kernels/attn_block.py + "
+                         "fused_ln_mlp) on backbones that support it")
     ap.add_argument("--json", default=None,
                     help="also write a machine-readable per-backbone artifact")
     args = ap.parse_args()
@@ -89,10 +93,12 @@ def main() -> None:
     for name in args.models:
         rec = {"backbone": name, "metric": f"pgd{args.steps}_imgs_per_sec_per_chip",
                "batch": args.batch, "steps": args.steps,
-               "fused_attention": not args.no_fused}
+               "fused_attention": not args.no_fused,
+               "fused_block": args.fused_block}
         try:
             v = bench_one(name, args.batch, args.steps, args.iters,
-                          fused=not args.no_fused)
+                          fused=not args.no_fused,
+                          fused_block=args.fused_block)
             rec["value"] = round(v, 1)
             print(f"| {name} | {v:.1f} |", flush=True)
         except Exception as e:  # keep sweeping — same isolation as the CLI
