@@ -38,6 +38,13 @@ class ConvNeXtConfig:
     # backward's residual dynamic-update-slice traffic — models/vit.py
     # round-2 trace). O(depth) compile time; on for flagship bench paths.
     unroll_layers: bool = False
+    # Fold each block's channels-last LayerNorm + pointwise-MLP chain into
+    # the LN2-fused MLP Pallas kernel (kernels/mlp.py:fused_ln_mlp — the
+    # same kernel the ViT fully-fused block uses; the (tokens, C) layout is
+    # identical). TPU + half-precision + plain pwconv denses only; stage 4
+    # (dim 1024, 16.8 MB of weights) exceeds the VMEM budget and falls back
+    # per the fits_vmem_ln check. Default off — unmeasured on hardware.
+    fuse_ln_mlp: bool = False
 
     def with_classes(self, num_classes: int) -> "ConvNeXtConfig":
         return dataclasses.replace(self, num_classes=num_classes)
@@ -108,6 +115,18 @@ def _conv(x: jax.Array, w: jax.Array, b, *, stride: int, groups: int = 1,
 def _block(cfg: ConvNeXtConfig, bp: dict, x: jax.Array) -> jax.Array:
     dim = x.shape[-1]
     h = _conv(x, bp["dwconv"]["w"], bp["dwconv"]["b"], stride=1, groups=dim)
+    cd = x.dtype
+    if (cfg.fuse_ln_mlp and jnp.dtype(cd).itemsize == 2 and all(
+            "lora_a" not in bp[k] and "w_q" not in bp[k]
+            for k in ("pwconv1", "pwconv2"))):
+        from ..kernels.mlp import fits_vmem_ln, fused_ln_mlp
+
+        if jax.default_backend() == "tpu" and fits_vmem_ln(dim, 4 * dim, cd):
+            h = fused_ln_mlp(h, bp["norm"]["scale"], bp["norm"]["bias"],
+                             bp["pwconv1"]["w"], bp["pwconv1"]["b"],
+                             bp["pwconv2"]["w"], bp["pwconv2"]["b"],
+                             cfg.layer_norm_eps).astype(cd)
+            return x + bp["gamma"].astype(cd) * h
     h = layer_norm(bp["norm"], h, eps=cfg.layer_norm_eps)
     h = gelu(dense(bp["pwconv1"], h, compute_dtype=x.dtype))
     h = dense(bp["pwconv2"], h, compute_dtype=x.dtype)

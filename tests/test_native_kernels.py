@@ -588,3 +588,32 @@ def test_fully_fused_block_inside_pgd_scan(monkeypatch):
         assert np.abs(adv - np.asarray(x)).max() <= eps + 1e-5
         assert adv.min() >= -1e-6 and adv.max() <= 1 + 1e-6
         assert ce(adv) > ce(np.asarray(x))  # ascent happened through the kernels
+
+
+def test_fused_ln_mlp_convnext_flag_interpret(monkeypatch):
+    """ConvNeXtConfig.fuse_ln_mlp routes the LN+pointwise-MLP chain through
+    the kernel (spied) and matches the plain model at bf16."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import mlp as km
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import convnext
+
+    base = dataclasses.replace(convnext.CONVNEXT_TEST,
+                               compute_dtype="bfloat16")
+    cfg = dataclasses.replace(base, fuse_ln_mlp=True)
+    params = convnext.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    ref = convnext.apply(base, params, x)
+
+    calls = []
+    orig = km.fused_ln_mlp
+    monkeypatch.setattr(km, "fused_ln_mlp",
+                        lambda *a: (calls.append(1), orig(*a))[1])
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        out = convnext.apply(cfg, params, x)
+    assert calls, "dispatch did not take the fused kernel path"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)

@@ -44,7 +44,8 @@ def bench_one(name: str, batch: int, steps: int, iters: int,
     # is compute-bound; XLA pipelines the two big matmuls better than the
     # RB-blocked kernel) — not enabled by default here or in bench.py.
     for flag, val in (("unroll_layers", True), ("use_fused_attention", fused),
-                      ("fuse_attn_block", fused_block)):
+                      ("fuse_attn_block", fused_block),
+                      ("fuse_ln_mlp", fused_block)):
         if hasattr(cfg, flag):
             cfg = dataclasses.replace(cfg, **{flag: val})
 
