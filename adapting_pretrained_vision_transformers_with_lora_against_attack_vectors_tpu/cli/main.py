@@ -178,6 +178,15 @@ def _attack_loaders_and_model(args, tpu_dtype="bf16"):
         if not hasattr(cfg, "use_fused_mlp"):
             raise SystemExit(f"--fused_mlp unsupported for {args.model}")
         cfg = dataclasses.replace(cfg, use_fused_mlp=True)
+    if getattr(args, "fused_block", False):
+        import dataclasses
+
+        # ViT/dinov1: fuse_attn_block (both halves); ConvNeXt: fuse_ln_mlp.
+        flag = next((f for f in ("fuse_attn_block", "fuse_ln_mlp")
+                     if hasattr(cfg, f)), None)
+        if flag is None:
+            raise SystemExit(f"--fused_block unsupported for {args.model}")
+        cfg = dataclasses.replace(cfg, **{flag: True})
     # dtype: "auto" resolves to ``tpu_dtype`` on TPU (bf16 for attack
     # generation — f32 ViT-B attack programs compile ~6x slower on the
     # remote backend and run slower; f32 for the training/eval stages whose
@@ -608,6 +617,11 @@ def build_parser() -> argparse.ArgumentParser:
                             help="Pallas fused MLP kernel (TPU; ViT/Swin; "
                                  "hidden activation stays in VMEM; measured "
                                  "neutral-to-negative — off by default)")
+            sp.add_argument("--fused_block", action="store_true",
+                            help="fully-fused encoder block (LN1+QKV+MHA+O "
+                                 "and LN2+MLP Pallas kernels; ViT/dinov1/"
+                                 "ConvNeXt, TPU + bf16 only; unmeasured on "
+                                 "hardware — off by default, see PERF.md)")
             sp.add_argument("--param_dtype", default="auto",
                             choices=("auto", "f32", "bf16"),
                             help="model parameter/compute dtype. auto = "
