@@ -41,7 +41,7 @@ GF_PER_IMG = {"full": 128.0, "lora": 88.0}  # analytic, see docstring
 
 
 def bench_mode(mode: str, batch: int, iters: int, augment: bool,
-               tiny: bool = False) -> dict:
+               tiny: bool = False, fused_block: bool = False) -> dict:
     import jax
 
     if tiny:  # CPU smoke: the env's sitecustomize pins jax_platforms=axon,cpu
@@ -61,7 +61,8 @@ def bench_mode(mode: str, batch: int, iters: int, augment: bool,
     else:
         cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
                                   use_fused_attention=True,
-                                  unroll_layers=True)
+                                  unroll_layers=True,
+                                  fuse_attn_block=fused_block)
     size = cfg.image_size
 
     @jax.jit
@@ -125,6 +126,7 @@ def bench_mode(mode: str, batch: int, iters: int, augment: bool,
         "batch": batch,
         "augment": augment,
         "mfu_pct_analytic": round(100 * mfu, 1),
+        "fused_block": fused_block,
     }
 
 
@@ -137,12 +139,17 @@ def main() -> None:
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="vit_test/32px CPU smoke of the plumbing")
+    ap.add_argument("--fused-block", action="store_true",
+                    help="fully-fused encoder block for the full-train A/B "
+                         "(weight grads via the VJP rule's XLA recompute — "
+                         "remat-like; lora mode is unaffected: adapter "
+                         "leaves disable the kernels per-dense)")
     args = ap.parse_args()
 
     records = []
     for mode in args.modes:
         rec = bench_mode(mode, args.batch, args.iters, not args.no_augment,
-                         tiny=args.tiny)
+                         tiny=args.tiny, fused_block=args.fused_block)
         print(json.dumps(rec), flush=True)
         records.append(rec)
 
