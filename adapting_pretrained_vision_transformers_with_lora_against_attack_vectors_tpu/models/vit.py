@@ -54,6 +54,9 @@ class ViTConfig:
     # element — h/q/k/v/attn-out never touch HBM. TPU only, engages only for
     # plain (merged / no-quant) attention denses in half-precision compute;
     # falls back to the ``use_fused_attention`` packed path otherwise.
+    # Composes with ``remat`` only on hardware: interpret-mode pallas_call
+    # carries an OrderedIOEffect that jax.checkpoint's partial-eval rejects,
+    # so the remat+fused combination has no off-TPU test path.
     fuse_attn_block: bool = False
     # Python-unroll the layer loop instead of lax.scan. The scan's backward
     # saves per-layer residuals via dynamic-update-slice into stacked HBM
