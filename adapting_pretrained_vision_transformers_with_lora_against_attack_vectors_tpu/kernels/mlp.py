@@ -66,27 +66,39 @@ def _gelu_grad_f32(pre: jax.Array, *, erf=jax.lax.erf) -> jax.Array:
     return cdf + pre * phi
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-    x = x_ref[...]  # (RB, D)
+# Shared kernel bodies: the plain (fused_mlp) and LN2-fused (fused_ln_mlp)
+# kernels run the exact same GELU-MLP math — one copy here so any numerics
+# change (erf polynomial, accumulation dtype) applies to both paths.
+
+
+def _mlp_fwd_f32(x, w1_ref, b1_ref, w2_ref, b2_ref):
+    """(RB, D) cd input -> (RB, D) f32 output of dense->gelu->dense."""
     pre = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     pre = pre + b1_ref[...].astype(jnp.float32)
     h = _gelu_f32(pre, erf=_erf_poly).astype(x.dtype)
     y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
-    y = y + b2_ref[...].astype(jnp.float32)
-    o_ref[...] = y.astype(o_ref.dtype)
+    return y + b2_ref[...].astype(jnp.float32)
 
 
-def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref, dx_ref):
-    x = x_ref[...]
-    dy = dy_ref[...]
+def _mlp_dx_f32(x, dy, w1_ref, b1_ref, w2_ref):
+    """f32 gradient wrt the MLP input: dy @ W2^T * gelu'(pre) @ W1^T."""
     pre = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     pre = pre + b1_ref[...].astype(jnp.float32)
-    # dh = dy @ W2^T ; dpre = dh * gelu'(pre) ; dx = dpre @ W1^T
     dh = jax.lax.dot_general(dy, w2_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dpre = (dh * _gelu_grad_f32(pre, erf=_erf_poly)).astype(x.dtype)
-    dx = jax.lax.dot_general(dpre, w1_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(dpre, w1_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[...]  # (RB, D)
+    o_ref[...] = _mlp_fwd_f32(x, w1_ref, b1_ref, w2_ref,
+                              b2_ref).astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref, dx_ref):
+    dx = _mlp_dx_f32(x_ref[...], dy_ref[...], w1_ref, b1_ref, w2_ref)
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
@@ -95,29 +107,27 @@ def _pad_rows(x: jax.Array, t_pad: int) -> jax.Array:
     return x if t == t_pad else jnp.pad(x, ((0, t_pad - t), (0, 0)))
 
 
-def _call(x2, dy2, w1, b1, w2, b2, rb: int):
+def _call(kernel, x2, dy2, consts, rb: int, **kernel_kwargs):
+    """Token-blocked pallas_call shared by both kernel variants.
+
+    ``consts``: 2-D operands (weights / bias rows / LN rows, in kernel
+    order) with constant block index — VMEM-resident across the grid sweep;
+    ``dy2``: optional token-blocked cotangent appended last (backward)."""
     t_pad, d = x2.shape
-    m = w1.shape[1]
     grid = (t_pad // rb,)
-    tok = lambda ch: pl.BlockSpec((rb, ch), lambda i: (i, 0),
+    tok = pl.BlockSpec((rb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
-    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM)
-    if dy2 is None:
-        return pl.pallas_call(
-            _fwd_kernel,
-            out_shape=jax.ShapeDtypeStruct((t_pad, d), x2.dtype),
-            grid=grid,
-            in_specs=[tok(d), full(d, m), full(1, m), full(m, d), full(1, d)],
-            out_specs=tok(d),
-        )(x2, w1, b1, w2, b2)
+    inputs = [x2, *consts] + ([] if dy2 is None else [dy2])
+    specs = [tok, *(full(c) for c in consts)] + ([] if dy2 is None else [tok])
     return pl.pallas_call(
-        _bwd_kernel,
+        (functools.partial(kernel, **kernel_kwargs) if kernel_kwargs
+         else kernel),
         out_shape=jax.ShapeDtypeStruct((t_pad, d), x2.dtype),
         grid=grid,
-        in_specs=[tok(d), full(d, m), full(1, m), full(m, d), tok(d)],
-        out_specs=tok(d),
-    )(x2, w1, b1, w2, dy2)
+        in_specs=specs,
+        out_specs=tok,
+    )(*inputs)
 
 
 @jax.custom_vjp
@@ -140,9 +150,9 @@ def _fwd_impl(x, w1, b1, w2, b2):
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
     t_pad = round_up(x2.shape[0], _RB_FWD)
-    y = _call(_pad_rows(x2, t_pad), None, w1.astype(x.dtype),
-              b1.reshape(1, -1).astype(x.dtype), w2.astype(x.dtype),
-              b2.reshape(1, -1).astype(x.dtype), _RB_FWD)
+    consts = [w1.astype(x.dtype), b1.reshape(1, -1).astype(x.dtype),
+              w2.astype(x.dtype), b2.reshape(1, -1).astype(x.dtype)]
+    y = _call(_fwd_kernel, _pad_rows(x2, t_pad), None, consts, _RB_FWD)
     return y[: x2.shape[0]].reshape(*lead, d)
 
 
@@ -157,9 +167,10 @@ def _bwd_rule(res, g):
     x2 = x.reshape(-1, d)
     g2 = g.reshape(-1, d)
     t_pad = round_up(x2.shape[0], _RB_BWD)
-    dx = _call(_pad_rows(x2, t_pad), _pad_rows(g2, t_pad), w1.astype(x.dtype),
-               b1.reshape(1, -1).astype(x.dtype), w2.astype(x.dtype), None,
-               _RB_BWD)
+    consts = [w1.astype(x.dtype), b1.reshape(1, -1).astype(x.dtype),
+              w2.astype(x.dtype)]
+    dx = _call(_bwd_kernel, _pad_rows(x2, t_pad), _pad_rows(g2, t_pad),
+               consts, _RB_BWD)
     dx = dx[: x2.shape[0]].reshape(*lead, d)
 
     # Weight/bias grads as plain XLA (recomputed pre/h); DCE'd entirely when
@@ -245,60 +256,20 @@ def _ln_fwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    o_ref, *, eps: float):
     x = x_ref[...]  # (RB, D)
     _, _, h = _ln_rows(x, s_ref[...], t_ref[...], eps)
-    h = h.astype(x.dtype)
-    pre = jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
-    pre = pre + b1_ref[...].astype(jnp.float32)
-    a = _gelu_f32(pre, erf=_erf_poly).astype(x.dtype)
-    y = jnp.dot(a, w2_ref[...], preferred_element_type=jnp.float32)
-    y = y + b2_ref[...].astype(jnp.float32)
-    o_ref[...] = y.astype(o_ref.dtype)
+    o_ref[...] = _mlp_fwd_f32(h.astype(x.dtype), w1_ref, b1_ref, w2_ref,
+                              b2_ref).astype(o_ref.dtype)
 
 
 def _ln_bwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, dy_ref,
                    dx_ref, *, eps: float):
     x = x_ref[...]
-    dy = dy_ref[...]
     normed, rstd, h = _ln_rows(x, s_ref[...], t_ref[...], eps)
-    h_cd = h.astype(x.dtype)
-    pre = jnp.dot(h_cd, w1_ref[...], preferred_element_type=jnp.float32)
-    pre = pre + b1_ref[...].astype(jnp.float32)
-    da = jax.lax.dot_general(dy, w2_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dpre = (da * _gelu_grad_f32(pre, erf=_erf_poly)).astype(x.dtype)
-    dh = jax.lax.dot_general(dpre, w1_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    dh = _mlp_dx_f32(h.astype(x.dtype), dy_ref[...], w1_ref, b1_ref, w2_ref)
     dn = dh * s_ref[...].astype(jnp.float32)
     m1 = jnp.mean(dn, axis=-1, keepdims=True)
     m2 = jnp.mean(dn * normed, axis=-1, keepdims=True)
     dx = rstd * (dn - m1 - normed * m2)
     dx_ref[...] = dx.astype(dx_ref.dtype)
-
-
-def _ln_call(x2, dy2, scale, bias, w1, b1, w2, b2, eps: float):
-    t_pad, d = x2.shape
-    m = w1.shape[1]
-    grid = (t_pad // _RB_LN,)
-    tok = lambda ch: pl.BlockSpec((_RB_LN, ch), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)
-    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM)
-    if dy2 is None:
-        return pl.pallas_call(
-            functools.partial(_ln_fwd_kernel, eps=eps),
-            out_shape=jax.ShapeDtypeStruct((t_pad, d), x2.dtype),
-            grid=grid,
-            in_specs=[tok(d), full(1, d), full(1, d), full(d, m), full(1, m),
-                      full(m, d), full(1, d)],
-            out_specs=tok(d),
-        )(x2, scale, bias, w1, b1, w2, b2)
-    return pl.pallas_call(
-        functools.partial(_ln_bwd_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((t_pad, d), x2.dtype),
-        grid=grid,
-        in_specs=[tok(d), full(1, d), full(1, d), full(d, m), full(1, m),
-                  full(m, d), tok(d)],
-        out_specs=tok(d),
-    )(x2, scale, bias, w1, b1, w2, dy2)
 
 
 def _ln_prep(x, ln_scale, ln_bias, w1, b1, w2, b2):
@@ -318,10 +289,9 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
     t_pad = round_up(x2.shape[0], _RB_LN)
-    scale, bias, w1c, b1r, w2c, b2r = _ln_prep(x, ln_scale, ln_bias, w1, b1,
-                                               w2, b2)
-    y = _ln_call(_pad_rows(x2, t_pad), None, scale, bias, w1c, b1r, w2c, b2r,
-                 eps)
+    consts = _ln_prep(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    y = _call(_ln_fwd_kernel, _pad_rows(x2, t_pad), None, consts, _RB_LN,
+              eps=eps)
     return y[: x2.shape[0]].reshape(*lead, d)
 
 
@@ -340,8 +310,8 @@ def _ln_bwd_rule(eps, res, g):
     t_pad = round_up(x2.shape[0], _RB_LN)
     scale, bias, w1c, b1r, w2c, b2r = _ln_prep(x, ln_scale, ln_bias, w1, b1,
                                                w2, b2)
-    dx = _ln_call(_pad_rows(x2, t_pad), _pad_rows(g2, t_pad), scale, bias,
-                  w1c, b1r, w2c, None, eps)
+    dx = _call(_ln_bwd_kernel, _pad_rows(x2, t_pad), _pad_rows(g2, t_pad),
+               [scale, bias, w1c, b1r, w2c], _RB_LN, eps=eps)
     dx = dx[: x2.shape[0]].reshape(x.shape)
 
     # Parameter grads: XLA recompute with the kernel's exact numerics (f32

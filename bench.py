@@ -182,30 +182,19 @@ def _parse_json_line(text: str) -> dict | None:
     return None
 
 
-def _tunnel_alive() -> bool:
-    """Fast pre-flight: can we even reach the axon relay? A dead relay makes
-    jax.devices() block forever in every child (observed: the relay daemon
-    died mid-round-3 and never returned — NOTES_NEXT_ROUND.md), so a refused
-    port means each attempt will burn its full timeout. Only consulted to
-    SHORTEN attempts, never to skip them (the probe could be wrong)."""
-    import socket
-
-    if os.environ.get("JAX_PLATFORMS", "axon") not in ("axon", "axon,cpu"):
-        return True
-    try:
-        with socket.create_connection(("127.0.0.1", 8082), timeout=3):
-            return True
-    except OSError:
-        return False
-
-
 def main() -> None:
     """Retry harness: fresh subprocess per attempt, JSON line no matter what."""
+    from tunnel_probe import relay_alive
+
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     timeout = float(os.environ.get("BENCH_TIMEOUT", "1800"))
     backoff = float(os.environ.get("BENCH_BACKOFF", "15"))
-    if not _tunnel_alive():
-        # still make one real (short) attempt — the probe is advisory
+    # Fast pre-flight: a dead axon relay makes jax.devices() block forever in
+    # every child (observed round 3), so each attempt would burn its full
+    # timeout. Only SHORTENS attempts, never skips them (the probe is
+    # advisory); no-op on hosts without a relay-backed backend.
+    preflight_alive = relay_alive()
+    if not preflight_alive:
         attempts, timeout = 1, min(timeout, 180.0)
     here = os.path.dirname(os.path.abspath(__file__))
 
@@ -239,7 +228,12 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": None,
         "error": f"all {attempts} attempts failed: " + " ;; ".join(errors),
-        "tunnel_alive": _tunnel_alive(),
+        # preflight is what actually shortened the run; "now" distinguishes
+        # a mid-run recovery from a still-dead relay
+        "tunnel_alive_preflight": preflight_alive,
+        "tunnel_alive_now": relay_alive(),
+        "attempts": attempts,
+        "timeout_s": timeout,
     }))
 
 

@@ -126,7 +126,13 @@ def bench_mode(mode: str, batch: int, iters: int, augment: bool,
         "batch": batch,
         "augment": augment,
         "mfu_pct_analytic": round(100 * mfu, 1),
-        "fused_block": fused_block,
+        # what the flag ACTUALLY engaged for this mode: --tiny ignores it
+        # (cfg built without the flag); lora mode fuses only the MLP half
+        # (adapter leaves on q/k/v/o disable attn_block per-dense)
+        "fused_block": fused_block and not tiny,
+        "fused_block_scope": (
+            "none" if (not fused_block or tiny)
+            else "mlp_half_only" if mode == "lora" else "both_halves"),
     }
 
 
@@ -140,10 +146,13 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="vit_test/32px CPU smoke of the plumbing")
     ap.add_argument("--fused-block", action="store_true",
-                    help="fully-fused encoder block for the full-train A/B "
+                    help="fully-fused encoder block for the train A/B "
                          "(weight grads via the VJP rule's XLA recompute — "
-                         "remat-like; lora mode is unaffected: adapter "
-                         "leaves disable the kernels per-dense)")
+                         "remat-like). In lora mode only the LN2+MLP half "
+                         "engages: the attention denses carry adapter "
+                         "leaves, which disable attn_block per-dense, but "
+                         "fc1/fc2 are plain and fused_ln_mlp still runs — "
+                         "recorded per-mode in fused_block_scope")
     args = ap.parse_args()
 
     records = []

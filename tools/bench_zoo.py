@@ -37,17 +37,22 @@ DEFAULT_MODELS = ["google_vit", "dinov1", "swin", "convnext", "yolo11-cls"]
 
 
 def bench_one(name: str, batch: int, steps: int, iters: int,
-              fused: bool, fused_block: bool = False) -> float:
+              fused: bool, fused_block: bool = False):
+    """-> (imgs_per_sec, applied_flags): flags record what the config
+    actually supports — backbones without a fused-block field (swin,
+    yolo11-cls) run unfused and must not be recorded as fused."""
     entry = registry.get_model(name)
     cfg = entry.config(21)
     # fused MLP measured performance-neutral-to-slightly-negative (the MLP
     # is compute-bound; XLA pipelines the two big matmuls better than the
     # RB-blocked kernel) — not enabled by default here or in bench.py.
+    applied = {}
     for flag, val in (("unroll_layers", True), ("use_fused_attention", fused),
                       ("fuse_attn_block", fused_block),
                       ("fuse_ln_mlp", fused_block)):
         if hasattr(cfg, flag):
             cfg = dataclasses.replace(cfg, **{flag: val})
+            applied[flag] = val
 
     @jax.jit
     def build(rng):
@@ -71,7 +76,7 @@ def bench_one(name: str, batch: int, steps: int, iters: int,
         x = run(params, x, labels, jax.random.key(i))
     float(checksum(x))
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return batch * iters / dt, applied
 
 
 def main() -> None:
@@ -93,14 +98,17 @@ def main() -> None:
     print("|---|---|")
     for name in args.models:
         rec = {"backbone": name, "metric": f"pgd{args.steps}_imgs_per_sec_per_chip",
-               "batch": args.batch, "steps": args.steps,
-               "fused_attention": not args.no_fused,
-               "fused_block": args.fused_block}
+               "batch": args.batch, "steps": args.steps}
         try:
-            v = bench_one(name, args.batch, args.steps, args.iters,
-                          fused=not args.no_fused,
-                          fused_block=args.fused_block)
+            v, applied = bench_one(name, args.batch, args.steps, args.iters,
+                                   fused=not args.no_fused,
+                                   fused_block=args.fused_block)
             rec["value"] = round(v, 1)
+            # per-backbone truth, not the CLI request: a backbone without
+            # the config field ran without the feature
+            rec["fused_attention"] = applied.get("use_fused_attention", False)
+            rec["fused_block"] = (applied.get("fuse_attn_block", False)
+                                  or applied.get("fuse_ln_mlp", False))
             print(f"| {name} | {v:.1f} |", flush=True)
         except Exception as e:  # keep sweeping — same isolation as the CLI
             rec["value"] = None
