@@ -37,3 +37,19 @@ def relay_alive() -> bool:
             return True
     except OSError:
         return False
+
+
+if __name__ == "__main__":
+    # Manual probe: exit 0 iff a TPU client would make progress right now.
+    # (Without this block, ``python tunnel_probe.py`` was a silent no-op
+    # whose rc=0 read as "alive" even with the relay dead.)
+    import sys
+
+    if not relay_configured():
+        print("tunnel_probe: no axon relay configured (JAX_PLATFORMS=%r) — "
+              "direct backend assumed alive" % os.environ.get("JAX_PLATFORMS", ""))
+        sys.exit(0)
+    alive = relay_alive()
+    print(f"tunnel_probe: relay port {RELAY_PORT} "
+          f"{'OPEN — tunnel alive' if alive else 'REFUSED — tunnel dead'}")
+    sys.exit(0 if alive else 1)
