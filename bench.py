@@ -228,6 +228,13 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": None,
         "error": f"all {attempts} attempts failed: " + " ;; ".join(errors),
+        # Builder-measured context so a dead-tunnel artifact still points at
+        # the number this harness produced when the chip was reachable
+        # (round 3, default merged variant — PERF.md "Headline"). NOT a
+        # driver-verified value; recorded for triage only.
+        "last_measured_builder": (
+            {"value": 158.5, "mfu_pct": 69.0, "vs_baseline": 2.88,
+             "see": "PERF.md"} if variant == "merged" else None),
         # preflight is what actually shortened the run; "now" distinguishes
         # a mid-run recovery from a still-dead relay
         "tunnel_alive_preflight": preflight_alive,
