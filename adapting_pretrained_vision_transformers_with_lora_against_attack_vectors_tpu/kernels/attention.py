@@ -14,7 +14,14 @@ score matrix never touches HBM, in either direction:
 
 Numerics: scores and softmax in float32 (max-subtracted), matmuls on the
 MXU with float32 accumulation — same math as ``ops.nn.attention``, which
-remains the reference implementation and the CPU/interpret fallback.
+remains the reference implementation and the CPU/interpret fallback, with
+ONE deliberate deviation: ``ops.nn.attention`` rounds the stored scores to
+the input dtype before the f32 softmax (halving its dominant HBM tensor —
+an XLA-path tradeoff), while here scores never leave VMEM so they stay f32
+end-to-end. Identical for f32 inputs; at bf16 the kernel is the *more*
+accurate path and probabilities differ from the fallback by up to ~1 bf16
+ulp (~0.4%) — pinned by the bf16 parity tests' tolerances
+(tests/test_native_kernels.py).
 
 Sequence padding to the 128-lane tile is handled inside the kernel with an
 additive key mask, so callers pass the raw (B, H, N, D) tensors.
@@ -51,6 +58,30 @@ def _softmax_probs(q, k, *, n_real: int, scale: float):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _attn_bwd_core(p, q, k, v, do, scale: float):
+    """Softmax-attention VJP on (G, N, hd)-batched operands, f32 accumulate.
+
+    ``p``: f32 probabilities; ``q``/``k``/``v``/``do``: compute-dtype stacks.
+    Returns ``(dq, dk, dv)`` in f32 (callers cast to their output refs).
+    ONE copy of the dV = P^T dO / dS = P(dP - rowsum(dP*P))*scale / dQ = dS K
+    / dK = dS^T Q chain, shared by the whole-head and packed backward kernels
+    here and by ``attn_block``'s fused half-block backward.
+    """
+    p_lp = p.astype(v.dtype)
+    dv = jax.lax.dot_general(p_lp, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - row)) * scale  # fold the score scale here
+    ds_lp = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(ds_lp, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    return dq, dk, dv
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int, scale: float):
     q = q_ref[...]  # (HB, Np, D)
     k = k_ref[...]
@@ -69,21 +100,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     do = do_ref[...]
 
     p = _softmax_probs(q, k, n_real=n_real, scale=scale)  # (HB, Nq, Nk) f32
-    p_lp = p.astype(v.dtype)
-    # dV = P^T dO
-    dv = jax.lax.dot_general(p_lp, do, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    # dP = dO V^T ; dS = P * (dP - rowsum(dP * P))
-    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = (p * (dp - row)) * scale  # fold the score scale here
-    ds_lp = ds.astype(q.dtype)
-    # dQ = dS K ; dK = dS^T Q
-    dq = jax.lax.dot_general(ds_lp, k, (((2,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
+    dq, dk, dv = _attn_bwd_core(p, q, k, v, do, scale)
 
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
@@ -224,18 +241,7 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     v = _head_stack(v_ref[0], heads, hd)
     do = _head_stack(do_ref[0], heads, hd)
 
-    p_lp = p.astype(v.dtype)
-    dv = jax.lax.dot_general(p_lp, do, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = (p * (dp - row)) * scale
-    ds_lp = ds.astype(q.dtype)
-    dq = jax.lax.dot_general(ds_lp, k, (((2,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
+    dq, dk, dv = _attn_bwd_core(p, q, k, v, do, scale)
     dq_ref[0] = _head_concat(dq.astype(dq_ref.dtype))
     dk_ref[0] = _head_concat(dk.astype(dk_ref.dtype))
     dv_ref[0] = _head_concat(dv.astype(dv_ref.dtype))

@@ -20,9 +20,15 @@ whitebox_attacks.py's only gradient) those are dead code and XLA eliminates
 them, so adversarial generation pays zero weight-gradient cost.
 
 Numerics match the XLA composition leaf-for-leaf (LayerNorm in f32,
-projections bf16 x bf16 -> f32 accumulate + f32 bias, probabilities in f32,
-per-head operands cast exactly where ``ops.nn.dense`` / the packed kernel
-cast): parity + VJP parity are pinned in interpret mode
+projections bf16 x bf16 -> f32 accumulate + f32 bias, per-head operands
+cast exactly where ``ops.nn.dense`` / the packed kernel cast), with the
+same ONE deliberate deviation as ``kernels/attention``: scores stay f32 in
+VMEM, while ``ops.nn.attention`` rounds its stored scores to the input
+dtype before the f32 softmax (an HBM-size tradeoff that does not apply in
+VMEM). Identical at f32; at bf16 — the only dtype the model dispatch
+permits — probabilities differ from the XLA fallback by up to ~1 bf16 ulp
+(~0.4%), the kernel being the more accurate side. Parity + VJP parity are
+pinned in interpret mode at f32 (exact) and bf16 (toleranced)
 (tests/test_native_kernels.py).
 
 VMEM: all four (C, C) weight matrices stay resident (constant block index —
@@ -41,20 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import _head_concat, _head_stack
-
-
-def _ln_f32(xf, scale_ref, bias_ref, eps: float):
-    """f32 LayerNorm over the last dim; returns (normed, rstd, h_f32).
-
-    Same math as ``ops.nn.layer_norm`` (two-pass mean/var)."""
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    normed = xc * rstd
-    h = normed * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
-    return normed, rstd, h
+from . import VMEM_BUDGET_BYTES, ln_bwd_f32, ln_fwd_f32
+from .attention import _attn_bwd_core, _head_concat, _head_stack
 
 
 def _proj(h_cd, w_ref, b_ref):
@@ -79,7 +73,8 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, wo_ref, bo_ref, o_ref, *, heads: int,
                 eps: float):
     cd = x_ref.dtype
-    _, _, h = _ln_f32(x_ref[0].astype(jnp.float32), scale_ref, bias_ref, eps)
+    _, _, h = ln_fwd_f32(x_ref[0].astype(jnp.float32), scale_ref[...],
+                         bias_ref[...], eps)
     h_cd = h.astype(cd)
     p, _, _, hd = _qkv_probs(h_cd, wq_ref, bq_ref, wk_ref, bk_ref, heads)
     vh = _head_stack(_proj(h_cd, wv_ref, bv_ref), heads, hd)
@@ -93,8 +88,8 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, wo_ref, dy_ref, dx_ref, *, heads: int,
                 eps: float):
     cd = x_ref.dtype
-    normed, rstd, h = _ln_f32(x_ref[0].astype(jnp.float32), scale_ref,
-                              bias_ref, eps)
+    normed, rstd, h = ln_fwd_f32(x_ref[0].astype(jnp.float32), scale_ref[...],
+                                 bias_ref[...], eps)
     h_cd = h.astype(cd)
     p, qh, kh, hd = _qkv_probs(h_cd, wq_ref, bq_ref, wk_ref, bk_ref, heads)
     vh = _head_stack(_proj(h_cd, wv_ref, bv_ref), heads, hd)
@@ -104,19 +99,9 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                              preferred_element_type=jnp.float32)
     dah = _head_stack(da.astype(cd), heads, hd)  # (H, N, hd)
 
-    # attention backward (same math as kernels/attention._packed_bwd_kernel)
-    p_cd = p.astype(cd)
-    dvh = jax.lax.dot_general(p_cd, dah, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(dah, vh, (((2,), (2,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = (p * (dp - row)) * (hd ** -0.5)
-    ds_cd = ds.astype(cd)
-    dqh = jax.lax.dot_general(ds_cd, kh, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    dkh = jax.lax.dot_general(ds_cd, qh, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
+    # attention backward: the shared softmax-VJP core (ONE copy with
+    # kernels/attention's whole-head and packed kernels)
+    dqh, dkh, dvh = _attn_bwd_core(p, qh, kh, vh, dah, hd ** -0.5)
 
     # projection backward into dh: dh = dq Wq^T + dk Wk^T + dv Wv^T
     dq = _head_concat(dqh.astype(cd))  # (N, C)
@@ -127,11 +112,8 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         preferred_element_type=jnp.float32)
     dh = t(dq, wq_ref) + t(dk, wk_ref) + t(dv, wv_ref)  # (N, C) f32
 
-    # LayerNorm backward
-    dn = dh * scale_ref[...].astype(jnp.float32)
-    m1 = jnp.mean(dn, axis=-1, keepdims=True)
-    m2 = jnp.mean(dn * normed, axis=-1, keepdims=True)
-    dx = rstd * (dn - m1 - normed * m2)
+    # LayerNorm backward (shared VJP helper)
+    dx = ln_bwd_f32(dh, scale_ref[...], normed, rstd)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
@@ -207,9 +189,8 @@ def _bwd_rule(heads, eps, res, g):
     # by XLA) when the caller differentiates only wrt x — the attack path.
     b, n, c = x.shape
     hd = c // heads
-    # _ln_f32 works on plain arrays too ([...] is identity) — one copy of
-    # the LN numerics shared with the kernels.
-    normed, _, h_f32 = _ln_f32(x.astype(jnp.float32), ln_scale, ln_bias, eps)
+    normed, _, h_f32 = ln_fwd_f32(x.astype(jnp.float32), ln_scale, ln_bias,
+                                  eps)
     h = h_f32.astype(cd)
 
     def attn_from_h(h_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_):
@@ -249,9 +230,8 @@ fused_attn_block.defvjp(_fwd_rule, _bwd_rule)
 # below ASSUMES Mosaic's liveness-based buffer reuse delivers that; it is
 # an estimate, not a proof, which is why the first hardware run goes through
 # tools/tpu_parity_attn_block.py (a VMEM overflow is a loud compile error on
-# an opt-in path, never silent corruption). Same ~14 MB budget as
+# an opt-in path, never silent corruption). Same shared budget as
 # kernels/mlp.py. bf16 ViT-B totals ~13.8 MB; f32 ViT-B is far out.
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
 def fits_vmem(c: int, heads: int, n: int, dtype) -> bool:
@@ -261,7 +241,7 @@ def fits_vmem(c: int, heads: int, n: int, dtype) -> bool:
     # q/k/v + dq/dk/dv + dah head stacks + x and dy token blocks
     stacks = 9 * n * c * itemsize
     f32_rows = 5 * n * c * 4  # normed, h, da, dh, dx in f32
-    return weights + scores + stacks + f32_rows <= _VMEM_BUDGET_BYTES
+    return weights + scores + stacks + f32_rows <= VMEM_BUDGET_BYTES
 
 
 def attn_block_reference(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo,

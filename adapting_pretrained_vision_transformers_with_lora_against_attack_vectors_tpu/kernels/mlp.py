@@ -16,9 +16,11 @@ those outputs are unused and XLA dead-code-eliminates them, so adversarial
 generation pays zero weight-gradient cost — the same property the XLA
 composition has.
 
-Numerics: f32 accumulation on the MXU, exact (erf-based) GELU in f32 —
-same math as ``ops.nn.dense`` + ``ops.nn.gelu``; parity tested in interpret
-mode and against the XLA path on TPU.
+Numerics: f32 accumulation on the MXU, biases added at f32 (exactly where
+``ops.nn.dense`` adds them), exact (erf-based) GELU in f32 — same math as
+``ops.nn.dense`` + ``ops.nn.gelu`` up to the A&S erf polynomial (|err| <=
+1.5e-7; Mosaic has no erf lowering); parity tested in interpret mode at f32
+and bf16, and against the XLA path on TPU.
 
 Used by ``models.vit`` behind ``ViTConfig.use_fused_mlp`` (TPU-only
 dispatch, and only when the block's weights fit the VMEM budget and carry
@@ -34,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import round_up
+from . import VMEM_BUDGET_BYTES, ln_bwd_f32, ln_fwd_f32, round_up
 
 _SQRT_HALF = 0.7071067811865476
 
@@ -150,8 +152,11 @@ def _fwd_impl(x, w1, b1, w2, b2):
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
     t_pad = round_up(x2.shape[0], _RB_FWD)
-    consts = [w1.astype(x.dtype), b1.reshape(1, -1).astype(x.dtype),
-              w2.astype(x.dtype), b2.reshape(1, -1).astype(x.dtype)]
+    # Weights in the compute dtype (MXU operands); bias rows stay f32 — the
+    # kernel adds them at f32, exactly where ops.nn.dense does, so f32 master
+    # biases lose nothing (same convention as fused_ln_mlp and attn_block).
+    consts = [w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
+              w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32)]
     y = _call(_fwd_kernel, _pad_rows(x2, t_pad), None, consts, _RB_FWD)
     return y[: x2.shape[0]].reshape(*lead, d)
 
@@ -167,7 +172,7 @@ def _bwd_rule(res, g):
     x2 = x.reshape(-1, d)
     g2 = g.reshape(-1, d)
     t_pad = round_up(x2.shape[0], _RB_BWD)
-    consts = [w1.astype(x.dtype), b1.reshape(1, -1).astype(x.dtype),
+    consts = [w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
               w2.astype(x.dtype)]
     dx = _call(_bwd_kernel, _pad_rows(x2, t_pad), _pad_rows(g2, t_pad),
                consts, _RB_BWD)
@@ -175,12 +180,12 @@ def _bwd_rule(res, g):
 
     # Weight/bias grads as plain XLA (recomputed pre/h); DCE'd entirely when
     # the caller only differentiates wrt the input (the attack path). The
-    # recompute mirrors the kernel's numerics exactly — biases cast to the
-    # compute dtype and the A&S erf polynomial — so weight gradients are
-    # consistent with the activations the kernel actually produced.
+    # recompute mirrors the kernel's numerics exactly — f32 bias adds and the
+    # A&S erf polynomial — so weight gradients are consistent with the
+    # activations the kernel actually produced.
     cd = x.dtype
     pre = jnp.dot(x2, w1.astype(cd), preferred_element_type=jnp.float32)
-    pre = pre + b1.astype(cd).astype(jnp.float32)
+    pre = pre + b1.astype(jnp.float32)
     h = _gelu_f32(pre, erf=_erf_poly)
     dh = jnp.dot(g2, w2.astype(cd).T, preferred_element_type=jnp.float32)
     dpre = dh * _gelu_grad_f32(pre, erf=_erf_poly)
@@ -197,10 +202,9 @@ fused_mlp.defvjp(_fwd_rule, _bwd_rule)
 
 
 # Weights must fit VMEM alongside a token block: W1+W2 plus the larger of
-# the forward/backward per-block working sets within ~16 MB. bf16 ViT-B
-# (768x3072 both ways = 9.4 MB weights + ~2.8 MB blocks at RB=128) fits;
-# f32 does not.
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+# the forward/backward per-block working sets within the shared budget.
+# bf16 ViT-B (768x3072 both ways = 9.4 MB weights + ~2.8 MB blocks at
+# RB=128) fits; f32 does not.
 
 
 def fits_vmem(d: int, m: int, dtype) -> bool:
@@ -208,7 +212,7 @@ def fits_vmem(d: int, m: int, dtype) -> bool:
     weights = 2 * d * m * itemsize
     fwd = _RB_FWD * (2 * d * itemsize + m * 4 + m * itemsize)
     bwd = _RB_BWD * (3 * d * itemsize + 2 * m * 4 + m * itemsize)
-    return weights + max(fwd, bwd) <= _VMEM_BUDGET_BYTES
+    return weights + max(fwd, bwd) <= VMEM_BUDGET_BYTES
 
 
 def mlp_reference(x, w1, b1, w2, b2):
@@ -240,22 +244,10 @@ def mlp_reference(x, w1, b1, w2, b2):
 _RB_LN = 64
 
 
-def _ln_rows(x, scale_row, bias_row, eps: float):
-    """f32 row LayerNorm (ops.nn.layer_norm numerics); returns normed, rstd, h."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    normed = xc * rstd
-    h = normed * scale_row.astype(jnp.float32) + bias_row.astype(jnp.float32)
-    return normed, rstd, h
-
-
 def _ln_fwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    o_ref, *, eps: float):
     x = x_ref[...]  # (RB, D)
-    _, _, h = _ln_rows(x, s_ref[...], t_ref[...], eps)
+    _, _, h = ln_fwd_f32(x.astype(jnp.float32), s_ref[...], t_ref[...], eps)
     o_ref[...] = _mlp_fwd_f32(h.astype(x.dtype), w1_ref, b1_ref, w2_ref,
                               b2_ref).astype(o_ref.dtype)
 
@@ -263,12 +255,10 @@ def _ln_fwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _ln_bwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, dy_ref,
                    dx_ref, *, eps: float):
     x = x_ref[...]
-    normed, rstd, h = _ln_rows(x, s_ref[...], t_ref[...], eps)
+    normed, rstd, h = ln_fwd_f32(x.astype(jnp.float32), s_ref[...],
+                                 t_ref[...], eps)
     dh = _mlp_dx_f32(h.astype(x.dtype), dy_ref[...], w1_ref, b1_ref, w2_ref)
-    dn = dh * s_ref[...].astype(jnp.float32)
-    m1 = jnp.mean(dn, axis=-1, keepdims=True)
-    m2 = jnp.mean(dn * normed, axis=-1, keepdims=True)
-    dx = rstd * (dn - m1 - normed * m2)
+    dx = ln_bwd_f32(dh, s_ref[...], normed, rstd)
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
@@ -316,7 +306,7 @@ def _ln_bwd_rule(eps, res, g):
 
     # Parameter grads: XLA recompute with the kernel's exact numerics (f32
     # LN, cd casts, A&S erf); DCE'd when only dx is consumed (attack path).
-    normed, _, h = _ln_rows(x2, scale, bias, eps)
+    normed, _, h = ln_fwd_f32(x2.astype(jnp.float32), scale, bias, eps)
     h_cd = h.astype(cd)
     pre = jnp.dot(h_cd, w1c, preferred_element_type=jnp.float32)
     pre = pre + b1r.astype(jnp.float32)
@@ -345,7 +335,7 @@ def fits_vmem_ln(d: int, m: int, dtype) -> bool:
     weights = 2 * d * m * itemsize
     # x/dy/dx blocks + f32 xf/normed/dh rows + f32 pre/da + cd hidden
     block = _RB_LN * (3 * d * itemsize + 3 * d * 4 + 2 * m * 4 + m * itemsize)
-    return weights + block <= _VMEM_BUDGET_BYTES
+    return weights + block <= VMEM_BUDGET_BYTES
 
 
 def ln_mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):

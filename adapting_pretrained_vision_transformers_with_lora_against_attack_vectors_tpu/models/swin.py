@@ -266,7 +266,8 @@ def _block(cfg: SwinConfig, bp: dict, x: jax.Array, *, heads: int,
     x = x + attn
     h = layer_norm(bp["ln2"], x, eps=eps)
     fc1, fc2 = bp["mlp"]["fc1"], bp["mlp"]["fc2"]
-    if cfg.use_fused_mlp and "lora_a" not in fc1 and "lora_a" not in fc2:
+    if (cfg.use_fused_mlp and all(
+            "lora_a" not in f and "w_q" not in f for f in (fc1, fc2))):
         from ..kernels.mlp import fits_vmem, fused_mlp
 
         if (jax.default_backend() == "tpu"

@@ -617,3 +617,134 @@ def test_fused_ln_mlp_convnext_flag_interpret(monkeypatch):
     assert calls, "dispatch did not take the fused kernel path"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+# --- bf16 kernel-level parity (the production compute dtype) -----------------
+#
+# The model dispatch runs these kernels in bf16 only, but the tests above are
+# f32 — where every hand-managed cast is an identity, so a wrong or missing
+# .astype(cd) would pass the suite and only surface on real hardware. These
+# run the same interpret-mode parity at bf16. Tolerances pin the ONE
+# documented deviation: the kernels keep attention scores f32 in VMEM while
+# ops.nn.attention rounds stored scores to bf16 (kernels/attention.py
+# docstring) — up to ~1 bf16 ulp on probabilities; the MLP kernels have no
+# deviation beyond bf16 output rounding + the A&S erf polynomial.
+
+def _bf16(*arrays):
+    return tuple(a.astype(jnp.bfloat16) for a in arrays)
+
+
+def test_fused_mlp_interpret_parity_bf16():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import mlp as km
+
+    rng = jax.random.key(5)
+    d, m = 32, 128
+    x = _bf16(jax.random.normal(jax.random.fold_in(rng, 0), (2, 35, d)))[0]
+    w1 = jax.random.normal(jax.random.fold_in(rng, 1), (d, m)) * 0.1
+    b1 = jax.random.normal(jax.random.fold_in(rng, 2), (m,)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (m, d)) * 0.1
+    b2 = jax.random.normal(jax.random.fold_in(rng, 4), (d,)) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        o = km.fused_mlp(x, w1, b1, w2, b2)
+        ref = km.mlp_reference(x.reshape(-1, d), w1, b1, w2, b2).reshape(x.shape)
+        assert o.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(o, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-2, rtol=1e-2)
+
+        loss = lambda f: lambda *a: jnp.sum(f(*a).astype(jnp.float32) ** 2)
+        ref_fn = lambda x, w1, b1, w2, b2: km.mlp_reference(
+            x.reshape(-1, d), w1, b1, w2, b2).reshape(x.shape)
+        g = jax.grad(loss(km.fused_mlp))(x, w1, b1, w2, b2)
+        g_ref = jax.grad(loss(ref_fn))(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(g_ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+
+def test_fused_ln_mlp_interpret_parity_bf16():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import mlp as km
+
+    rng = jax.random.key(11)
+    d, m = 32, 128
+    r = lambda i, shape, s=1.0: jax.random.normal(
+        jax.random.fold_in(rng, i), shape) * s
+    x = _bf16(r(0, (2, 35, d)))[0]
+    args = (x, 1.0 + 0.1 * r(1, (d,)), 0.1 * r(2, (d,)),
+            r(3, (d, m), 0.1), r(4, (m,), 0.1), r(5, (m, d), 0.1),
+            r(6, (d,), 0.1))
+
+    with pltpu.force_tpu_interpret_mode():
+        o = km.fused_ln_mlp(*args, 1e-6)
+        ref = km.ln_mlp_reference(*args, 1e-6)
+        assert o.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(o, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-2, rtol=1e-2)
+
+        loss = lambda f: lambda *a: jnp.sum(f(*a, 1e-6).astype(jnp.float32) ** 2)
+        g = jax.grad(loss(km.fused_ln_mlp))(*args)
+        g_ref = jax.grad(loss(km.ln_mlp_reference))(*args)
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(g_ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+
+def test_fused_attention_packed_interpret_parity_bf16():
+    """The production default attention kernel at its production dtype."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import attention as ka
+
+    rng = jax.random.key(3)
+    b, n, c, heads = 2, 70, 96, 3
+    q, k, v = _bf16(*(jax.random.normal(jax.random.fold_in(rng, i), (b, n, c))
+                      for i in range(3)))
+    with pltpu.force_tpu_interpret_mode():
+        o = ka.fused_attention_packed(q, k, v, heads)
+        ref = ka.attention_packed_reference(q, k, v, heads)
+        assert o.dtype == jnp.bfloat16
+        # ~1 bf16 ulp probability deviation (f32 VMEM scores vs the XLA
+        # path's bf16-stored scores) compounds through the weighted sum
+        np.testing.assert_allclose(np.asarray(o, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
+        loss = lambda f: lambda *a: jnp.sum(f(*a).astype(jnp.float32) ** 2)
+        g = jax.grad(loss(lambda q, k, v: ka.fused_attention_packed(
+            q, k, v, heads)), argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(lambda q, k, v: ka.attention_packed_reference(
+            q, k, v, heads)), argnums=(0, 1, 2))(q, k, v)
+        for got, want in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(want, np.float32),
+                                       atol=5e-2, rtol=5e-2)
+
+
+def test_fused_attn_block_interpret_parity_bf16():
+    """The fused half-block at the only dtype its dispatch permits."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import attn_block as kab
+
+    args = _attn_block_args(jax.random.key(0))
+    args = (_bf16(args[0])[0],) + args[1:]  # bf16 tokens, f32 master params
+    with pltpu.force_tpu_interpret_mode():
+        o = kab.fused_attn_block(*args, 3, 1e-6)
+        ref = kab.attn_block_reference(*args, 3, 1e-6)
+        assert o.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(o, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
+        loss = lambda f: lambda *a: jnp.sum(f(*a, 3, 1e-6).astype(jnp.float32) ** 2)
+        g = jax.grad(loss(kab.fused_attn_block))(*args)  # dx: the attack path
+        g_ref = jax.grad(loss(kab.attn_block_reference))(*args)
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(g_ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)

@@ -104,3 +104,27 @@ def test_quantize_rejects_missing_target():
     params = vit.init(jax.random.key(0), vit.VIT_TEST)
     with pytest.raises(KeyError, match="no leaf"):
         quant.quantize_dense_tree(params, ("blocks/nope",))
+
+
+def test_swin_fused_mlp_guard_skips_quantized_denses(monkeypatch):
+    """Regression (round-3 review): Swin's fused-MLP dispatch guarded only
+    unmerged-LoRA leaves, so a quantized (w_q/w_s) MLP dense reached the
+    kernel's fc1["w"] lookup and raised KeyError on TPU. Quantized blocks
+    must take the int8 dense path, bit-identical to the unfused dispatch."""
+    import dataclasses
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import swin
+
+    cfg = swin.SWIN_TEST
+    params = swin.init(jax.random.key(0), cfg)
+    targets = tuple(f"stages/{s}/blocks/mlp/{f}"
+                    for s in range(cfg.num_stages) for f in ("fc1", "fc2"))
+    qparams = quant.quantize_dense_tree(params, targets)
+
+    x = jax.random.uniform(jax.random.key(1), (2, cfg.image_size,
+                                               cfg.image_size, 3))
+    ref = swin.apply(cfg, qparams, x)  # unfused dispatch (CPU backend)
+    fused_cfg = dataclasses.replace(cfg, use_fused_mlp=True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = swin.apply(fused_cfg, qparams, x)  # must NOT touch the kernel
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
