@@ -58,11 +58,13 @@ def bench_mode(mode: str, batch: int, iters: int, augment: bool,
 
     if tiny:  # CPU smoke of the plumbing (``--tiny``): vit_test at 32 px
         cfg = vit.VIT_TEST.with_classes(5)
+        model = "vit_test"
     else:
         cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
                                   use_fused_attention=True,
                                   unroll_layers=True,
                                   fuse_attn_block=fused_block)
+        model = "vitb"
     size = cfg.image_size
 
     @jax.jit
@@ -120,12 +122,15 @@ def bench_mode(mode: str, batch: int, iters: int, augment: bool,
     ips = batch * iters / dt
     mfu = ips * GF_PER_IMG[mode] * 1e-3 / V5E_PEAK_TFLOPS
     return {
-        "metric": f"train_step_images_per_sec_per_chip_vitb_{mode}",
+        "metric": f"train_step_images_per_sec_per_chip_{model}_{mode}",
+        "device_kind": jax.devices()[0].device_kind,
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "batch": batch,
         "augment": augment,
-        "mfu_pct_analytic": round(100 * mfu, 1),
+        # the analytic MFU is against the v5e bf16 peak — meaningless for
+        # the --tiny CPU smoke, so omitted there
+        "mfu_pct_analytic": None if tiny else round(100 * mfu, 1),
         # what the flag ACTUALLY engaged for this mode: --tiny ignores it
         # (cfg built without the flag); lora mode fuses only the MLP half
         # (adapter leaves on q/k/v/o disable attn_block per-dense)
@@ -164,7 +169,9 @@ def main() -> None:
 
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"unit": "images/sec/chip", "device": "TPU v5 lite",
+            # device comes from the records (real device_kind, not assumed)
+            json.dump({"unit": "images/sec/chip",
+                       "device": records[0]["device_kind"] if records else None,
                        "records": records}, f, indent=2)
         print(f"wrote {args.json}")
 
