@@ -571,6 +571,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="apvt-lora",
         description="TPU-native LoRA-robustness pipeline for vision "
                     "transformers")
+    p.add_argument("--platform", choices=("default", "cpu"), default="default",
+                   help="JAX backend: 'default' uses the environment's "
+                        "platform order (TPU when attached); 'cpu' pins the "
+                        "CPU backend — for smoke runs and hosts whose TPU is "
+                        "unreachable. Must precede the subcommand.")
     sub = p.add_subparsers(dest="command", required=True)
 
     sp = sub.add_parser("process", help="unify raw traffic-sign datasets")
@@ -738,6 +743,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform == "cpu":
+        # Must land before the first backend touch. The environment's
+        # sitecustomize may force jax_platforms (e.g. "axon,cpu"), which
+        # ignores the JAX_PLATFORMS env var — the config update does not.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args.fn(args)
     return 0
 

@@ -174,3 +174,14 @@ def test_cli_process(tmp_path):
         rows = list(csv.DictReader(f))
     assert rows and rows[0]["unified_class"] == "stop"
     assert os.path.exists(rows[0]["image_path"])
+
+
+def test_platform_flag_cpu_pin(tmp_path):
+    """Global --platform cpu (before the subcommand) pins the CPU backend —
+    the escape hatch for smoke runs / dead-TPU hosts (MIGRATION.md)."""
+    import jax
+
+    run(["--platform", "cpu", "synth-data", "--output_dir",
+         str(tmp_path / "d"), "--n_per_class", "1", "--image_size", "16"])
+    assert jax.default_backend() == "cpu"
+    assert os.path.exists(tmp_path / "d" / "train" / "metadata.csv")

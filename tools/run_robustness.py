@@ -29,6 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STAGE_TIMEOUT_S = float(os.environ.get("APVT_STAGE_TIMEOUT", "3600"))
 STAGE_ATTEMPTS = int(os.environ.get("APVT_STAGE_ATTEMPTS", "2"))
+PLATFORM = "default"  # set from --platform; forwarded to every CLI stage
 
 
 def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
@@ -46,6 +47,7 @@ def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
             proc = subprocess.run(
                 [sys.executable, "-m",
                  "adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.cli.main",
+                 "--platform", PLATFORM,
                  *cli_args], cwd=REPO, text=True, capture_output=True,
                 timeout=STAGE_TIMEOUT_S)
         except subprocess.TimeoutExpired:
@@ -84,7 +86,13 @@ def main() -> None:
     ap.add_argument("--lora_epochs", type=int, default=4)
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke config (vit_test, 32px) for CI-style runs")
+    ap.add_argument("--platform", choices=("default", "cpu"),
+                    default="default",
+                    help="forwarded to every CLI stage — 'cpu' makes --quick "
+                         "runnable on hosts whose TPU is unreachable")
     args = ap.parse_args()
+    global PLATFORM
+    PLATFORM = args.platform
 
     d = args.workdir
     os.makedirs(d, exist_ok=True)
