@@ -46,7 +46,7 @@ def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
         try:
             proc = subprocess.run(
                 [sys.executable, "-m",
-                 "adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.cli.main",
+                 "adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.cli",
                  "--platform", PLATFORM,
                  *cli_args], cwd=REPO, text=True, capture_output=True,
                 timeout=STAGE_TIMEOUT_S)
