@@ -19,6 +19,11 @@ import json
 import os
 import sys
 
+# keys of data.process.PROCESSORS (kept static here so building the parser
+# never imports the ETL module; tests/test_cli.py pins them against it)
+DATASET_NAMES = ("gtsrb-german-traffic-sign", "lisa-road-sign", "Mapillary",
+                 "CURE-TSD", "roboflow-traffic-signs-dataset")
+
 
 def _common_data_args(p, *, sources=True):
     p.add_argument("--data_root", required=True,
@@ -154,39 +159,31 @@ def _attack_loaders_and_model(args, tpu_dtype="bf16"):
     # unrolled encoder carry the 158 imgs/s headline; requesting them
     # explicitly off (--no-fused-attention) keeps the scan/XLA paths.
     on_tpu = jax.default_backend() == "tpu"
-    fused_attn = getattr(args, "fused_attention", None)
-    if fused_attn is None:
-        fused_attn = on_tpu and hasattr(cfg, "use_fused_attention")
-    if fused_attn:
+
+    def enable(cfg, cli_name, field):
         import dataclasses
 
-        if not hasattr(cfg, "use_fused_attention"):
-            raise SystemExit(f"--fused_attention unsupported for {args.model}")
-        cfg = dataclasses.replace(cfg, use_fused_attention=True)
+        if not hasattr(cfg, field):
+            raise SystemExit(f"{cli_name} unsupported for {args.model}")
+        return dataclasses.replace(cfg, **{field: True})
+
+    fused_attn = getattr(args, "fused_attention", None)
+    if fused_attn is None:  # auto: on for TPU when the backbone supports it
+        fused_attn = on_tpu and hasattr(cfg, "use_fused_attention")
+    if fused_attn:
+        cfg = enable(cfg, "--fused_attention", "use_fused_attention")
     unroll = getattr(args, "unroll_layers", None)
     if unroll is None:
         unroll = on_tpu and hasattr(cfg, "unroll_layers")
     if unroll:
-        import dataclasses
-
-        if not hasattr(cfg, "unroll_layers"):
-            raise SystemExit(f"--unroll_layers unsupported for {args.model}")
-        cfg = dataclasses.replace(cfg, unroll_layers=True)
+        cfg = enable(cfg, "--unroll_layers", "unroll_layers")
     if getattr(args, "fused_mlp", False):
-        import dataclasses
-
-        if not hasattr(cfg, "use_fused_mlp"):
-            raise SystemExit(f"--fused_mlp unsupported for {args.model}")
-        cfg = dataclasses.replace(cfg, use_fused_mlp=True)
+        cfg = enable(cfg, "--fused_mlp", "use_fused_mlp")
     if getattr(args, "fused_block", False):
-        import dataclasses
-
         # ViT/dinov1: fuse_attn_block (both halves); ConvNeXt: fuse_ln_mlp.
         flag = next((f for f in ("fuse_attn_block", "fuse_ln_mlp")
                      if hasattr(cfg, f)), None)
-        if flag is None:
-            raise SystemExit(f"--fused_block unsupported for {args.model}")
-        cfg = dataclasses.replace(cfg, **{flag: True})
+        cfg = enable(cfg, "--fused_block", flag or "fuse_attn_block")
     # dtype: "auto" resolves to ``tpu_dtype`` on TPU (bf16 for attack
     # generation — f32 ViT-B attack programs compile ~6x slower on the
     # remote backend and run slower; f32 for the training/eval stages whose
@@ -332,27 +329,33 @@ def cmd_patch_attack(args):
                                           normalize=normalize)
     apply_fn = patch_mod.make_apply_patch(base_cfg)
 
-    for patch_type in args.patch_type:
-        mask = patch_mod.patch_mask(make_pcfg(patch_type))
+    # split outer, patch type inner: the training subset and clean metadata
+    # depend only on the split (shuffle off), so collect/decode them once —
+    # only the shape mask differs per patch type
+    for split in args.splits:
+        loader = loaders[split]
+        if loader is None:
+            continue
+        # training subset (reference patch_sample_size, patch_attack.py:178)
+        xs, ys, n = [], [], 0
+        for b in loader:
+            keep = b.valid > 0
+            xs.append(b.images[keep].astype(np.float32) / 255.0)
+            ys.append(b.labels[keep])
+            n += int(keep.sum())
+            if n >= args.patch_sample_size:
+                break
+        if not xs:
+            print(f"skip {split}: no samples after filtering")
+            continue
+        images = np.concatenate(xs)[: args.patch_sample_size]
+        labels = np.concatenate(ys)[: args.patch_sample_size]
+        clean_meta = filter_metadata(
+            pd.read_csv(os.path.join(args.data_root, split,
+                                     "metadata.csv")), args.sources)
 
-        for split in args.splits:
-            loader = loaders[split]
-            if loader is None:
-                continue
-            # training subset (reference patch_sample_size, patch_attack.py:178)
-            xs, ys, n = [], [], 0
-            for b in loader:
-                keep = b.valid > 0
-                xs.append(b.images[keep].astype(np.float32) / 255.0)
-                ys.append(b.labels[keep])
-                n += int(keep.sum())
-                if n >= args.patch_sample_size:
-                    break
-            if not xs:
-                print(f"skip {split}: no samples after filtering")
-                continue
-            images = np.concatenate(xs)[: args.patch_sample_size]
-            labels = np.concatenate(ys)[: args.patch_sample_size]
+        for patch_type in args.patch_type:
+            mask = patch_mod.patch_mask(make_pcfg(patch_type))
             patch, losses = train_fn(params, images, labels,
                                      jax.random.fold_in(rng, 0), mask)
             print(f"{patch_type} {split}: patch trained "
@@ -366,9 +369,6 @@ def cmd_patch_attack(args):
                     maxval=args.scale_max_apply))
                 return _apply(im, _patch, r_a, scale, _mask)
 
-            clean_meta = filter_metadata(
-                pd.read_csv(os.path.join(args.data_root, split,
-                                         "metadata.csv")), args.sources)
             out_dir = generate.attack_output_dir(
                 args.output_dir, args.model, source, split,
                 f"patch_{patch_type}")
@@ -401,20 +401,26 @@ def cmd_rp2_attack(args):
         loader = loaders[split]
         if loader is None:
             continue
-        xs, ys = [], []
+        # bounded collection: only the first patch_sample_size samples feed
+        # patch training — accumulating the whole split in host RAM as f32
+        # would be ~GBs on a real corpus
+        xs, ys, n = [], [], 0
         for b in loader:
             keep = b.valid > 0
             xs.append(b.images[keep].astype(np.float32) / 255.0)
             ys.append(b.labels[keep])
+            n += int(keep.sum())
+            if n >= args.patch_sample_size:
+                break
         if not xs:
             print(f"skip {split}: no samples after filtering")
             continue
-        images, labels = np.concatenate(xs), np.concatenate(ys)
+        images = np.concatenate(xs)[: args.patch_sample_size]
+        labels = np.concatenate(ys)[: args.patch_sample_size]
 
         patches = rp2.train_rp2_patches(
-            entry.apply, cfg, params, images[: args.patch_sample_size],
-            labels[: args.patch_sample_size], cfg=pcfg, normalize=normalize,
-            rng=rng)
+            entry.apply, cfg, params, images, labels, cfg=pcfg,
+            normalize=normalize, rng=rng)
         patch_dir = os.path.join(args.output_dir, args.model, source, split,
                                  "rp2", "patches")
         rp2.save_class_patches(patches, patch_dir, cfg=pcfg,
@@ -432,7 +438,6 @@ def cmd_rp2_attack(args):
         def attack(p, im, lb, r, _pa=jax.device_put(patch_arr)):
             # per-example patch of its own class (physical per-sign sticker)
             sel = _pa[lb]
-            import jax.numpy as jnp
 
             def one(img, pt, key):
                 return apply_fn(img[None], pt, key, pcfg.scale_max)[0]
@@ -473,7 +478,7 @@ def cmd_train_lora(args):
         train_loader = Loader(idx, batch_size=args.batch_size,
                               image_size=cfg.image_size,
                               resize=_eval_resize(cfg.image_size),
-                              shuffle=True)
+                              seed=args.seed, shuffle=True)
         val_dir = os.path.join(args.adv_root, args.model, source, "val", attack)
         val_meta = os.path.join(val_dir, "metadata.csv")
         if os.path.exists(val_meta):
@@ -581,10 +586,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("process", help="unify raw traffic-sign datasets")
     sp.add_argument("--base_dir", default="./Datasets")
     sp.add_argument("--output_dir", default="./processed")
-    from ..data.process import PROCESSORS
-
-    sp.add_argument("--datasets", nargs="+", default=list(PROCESSORS),
-                    choices=list(PROCESSORS))
+    # static copy of data.process.PROCESSORS' keys so argument parsing never
+    # imports the ETL module (this file lazily imports everything heavy
+    # inside cmd_*); pinned against the real registry by a unit test
+    sp.add_argument("--datasets", nargs="+", default=list(DATASET_NAMES),
+                    choices=list(DATASET_NAMES))
     sp.add_argument("--splits", nargs="+", default=["train", "val", "test"],
                     choices=["train", "val", "test"])
     sp.set_defaults(fn=cmd_process)

@@ -50,11 +50,19 @@ class FitResult:
     best_val_accuracy: float
     best_epoch: int
     history: list[dict]
+    # the compiled eval program fit used for validation — reuse it for the
+    # test pass instead of building (and remote-compiling) a second
+    # identical one
+    eval_step: Callable = None
 
 
 def _device_batch(batch, mesh):
-    """uint8 batch -> device arrays ([0,1] floats happen on device)."""
-    images = batch.images_f32()
+    """uint8 batch -> device arrays ([0,1] floats happen on device).
+
+    Images cross the wire as uint8 — 4x fewer bytes than f32 on the
+    remote-TPU tunnel — and the jitted step's trace-time dtype branch
+    converts to [0,1] floats on device (train/steps.py)."""
+    images = batch.images
     if mesh is not None:
         images, labels, valid = pmesh.shard_batch(mesh, images, batch.labels,
                                                   batch.valid)
@@ -172,7 +180,8 @@ def fit(
 
     if best_epoch < 0:  # no val loader: final params are "best"
         best_params, best_acc, best_epoch = state.params, None, epochs - 1
-    return FitResult(state, best_params, best_acc, best_epoch, history)
+    return FitResult(state, best_params, best_acc, best_epoch, history,
+                     eval_step)
 
 
 def train_base_model(
@@ -303,8 +312,8 @@ def train_base_model(
         "checkpoint": best_path,
     }
     if test_loader is not None:
-        eval_step = make_eval_step(forward, len(vocab), normalize=normalize)
-        test = evaluate(eval_step, result.best_params, test_loader, mesh=mesh)
+        test = evaluate(result.eval_step, result.best_params, test_loader,
+                        mesh=mesh)
         summary["test_accuracy"] = test["accuracy"]
         summary["test_f1"] = test["f1"]
         log(f"test: acc {test['accuracy']:.4f} f1 {test['f1']:.4f}")

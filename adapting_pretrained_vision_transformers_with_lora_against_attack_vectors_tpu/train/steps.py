@@ -30,6 +30,15 @@ import optax
 from ..attacks.common import IMAGENET, Normalizer
 
 
+def _to_unit_floats(images: jax.Array) -> jax.Array:
+    """Trace-time dtype branch: uint8 batches (shipped over the wire at 1/4
+    the f32 bytes — train/loop._device_batch) become [0,1] floats ON DEVICE;
+    float inputs (already [0,1], e.g. adversarial tensors) pass through."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 class TrainState(NamedTuple):
     """Pytree of everything a step mutates (donate-friendly)."""
 
@@ -80,6 +89,7 @@ def make_train_step(
         raise ValueError("augment requires step_rng")
 
     def loss_fn(trainable, frozen_tree, rng_base, images, labels, valid, step):
+        images = _to_unit_floats(images)
         rng = (jax.random.fold_in(rng_base, step)
                if step_rng is not None else None)
         if augment is not None:
@@ -140,6 +150,7 @@ def make_eval_step(
 
     @jax.jit
     def eval_step_impl(params, frozen_tree, images, labels, valid):
+        images = _to_unit_floats(images)
         x = normalize(images) if normalize is not None else images
         logits = (forward(params, x) if frozen is None
                   else forward(frozen_tree, params, x))

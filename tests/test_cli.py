@@ -185,3 +185,12 @@ def test_platform_flag_cpu_pin(tmp_path):
          str(tmp_path / "d"), "--n_per_class", "1", "--image_size", "16"])
     assert jax.default_backend() == "cpu"
     assert os.path.exists(tmp_path / "d" / "train" / "metadata.csv")
+
+
+def test_dataset_names_match_processors_registry():
+    """cli.main.DATASET_NAMES is a static copy (so parser construction never
+    imports the ETL module) — pin it against the real registry."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.cli.main import DATASET_NAMES
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.process import PROCESSORS
+
+    assert tuple(PROCESSORS) == DATASET_NAMES
