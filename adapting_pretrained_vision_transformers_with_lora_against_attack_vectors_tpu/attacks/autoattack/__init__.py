@@ -23,7 +23,7 @@ from typing import Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..common import IMAGENET, Normalizer
+from ..common import IMAGENET, Normalizer, to_unit_floats
 from .apgd import APGDConfig, make_apgd, make_apgd_targeted
 from .fab import FABConfig, make_fab_targeted
 from .square import SquareConfig, make_square
@@ -94,6 +94,11 @@ def make_autoattack(
     def misclassified(params, x, labels):
         return jnp.argmax(apply_fn(params, normalize(x)), axis=-1) != labels
 
+    # uint8 wire batches (attacks/common.to_unit_floats): the suite is a
+    # host orchestrator, so convert once on device at entry rather than in
+    # every stage program
+    to_floats = jax.jit(to_unit_floats)
+
     # NOT jitted as one program on purpose: each stage is already a single
     # compiled scan; fusing all four (APGD x2 + FAB + 5000-query Square)
     # into one XLA computation would explode compile time for zero runtime
@@ -108,6 +113,8 @@ def make_autoattack(
     def run(params, images, labels, rng):
         import numpy as np
 
+        if images.dtype == jnp.uint8:
+            images = to_floats(images)
         expand = (slice(None),) + (None,) * (images.ndim - 1)
         b = images.shape[0]
         x_adv = images

@@ -39,6 +39,17 @@ class Normalizer:
 IMAGENET = Normalizer((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
 
 
+def to_unit_floats(images: jax.Array) -> jax.Array:
+    """Trace-time dtype branch: uint8 batches (shipped over the wire at 1/4
+    the f32 bytes) become [0,1] floats ON DEVICE; float inputs — already
+    [0,1], e.g. adversarial tensors mid-pipeline — pass through unchanged.
+    Every jitted attack/train/eval entry point applies this, so loaders can
+    always hand uint8 to ``jax.device_put``."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def linf_project(x: jax.Array, origin: jax.Array, eps: float) -> jax.Array:
     """Project onto the Linf ball around ``origin`` intersected with [0,1]."""
     return jnp.clip(x, jnp.maximum(origin - eps, 0.0), jnp.minimum(origin + eps, 1.0))

@@ -16,7 +16,7 @@ model × source × split, run each attack over the whole split and write
 from __future__ import annotations
 
 import os
-from typing import Callable, Mapping, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import numpy as np
@@ -24,7 +24,6 @@ import pandas as pd
 
 from ..data import io as data_io
 from ..data.loader import Loader
-from .common import Normalizer
 
 
 def generate_adversarial_split(
@@ -49,8 +48,22 @@ def generate_adversarial_split(
     os.makedirs(img_dir, exist_ok=True)
     rng = rng if rng is not None else jax.random.key(0)
 
-    all_names: list[str] = []
+    all_names: list[str] = []  # unique written filenames, in loader order
+    all_origs: list[str] = []  # the clean basename each written file is for
+    seen: dict[str, int] = {}
     pending: Optional[tuple] = None  # (device adv array, valid, names)
+
+    def unique_name(name: str) -> str:
+        # a split can contain duplicate basenames across class directories
+        # (e.g. GTSRB track/frame stems); the flat images/ output dir would
+        # silently overwrite — disambiguate and keep the original for the
+        # metadata row match
+        k = seen.get(name, 0)
+        seen[name] = k + 1
+        if k == 0:
+            return name
+        stem, ext = os.path.splitext(name)
+        return f"{stem}__{k}{ext}"
 
     with ThreadPoolExecutor(max_workers=8) as pool:  # one pool per split
         def flush(adv, valid, names):
@@ -61,12 +74,17 @@ def generate_adversarial_split(
 
             adv_np = np.asarray(verified_get(adv))
             keep = [i for i, v in enumerate(valid) if v > 0]
-            data_io.save_images(adv_np[keep], [names[i] for i in keep],
-                                img_dir, pool=pool)
-            all_names.extend(names[i] for i in keep)
+            origs = [names[i] for i in keep]
+            uniq = [unique_name(n) for n in origs]
+            data_io.save_images(adv_np[keep], uniq, img_dir, pool=pool)
+            all_names.extend(uniq)
+            all_origs.extend(origs)
 
         for k, batch in enumerate(loader):
-            images = batch.images_f32()
+            # uint8 over the wire (4x fewer bytes than f32 on the remote-TPU
+            # tunnel); every jitted attack entry converts on device
+            # (attacks/common.to_unit_floats)
+            images = batch.images
             if mesh is not None:
                 from ..parallel import mesh as pmesh
 
@@ -81,7 +99,8 @@ def generate_adversarial_split(
         if pending is not None:
             flush(*pending)
 
-    adv_meta = data_io.create_adv_metadata(clean_metadata, all_names, img_dir)
+    adv_meta = data_io.create_adv_metadata(clean_metadata, all_names, img_dir,
+                                           originals=all_origs)
     data_io.save_metadata(adv_meta, os.path.join(out_dir, "metadata.csv"))
     return adv_meta
 

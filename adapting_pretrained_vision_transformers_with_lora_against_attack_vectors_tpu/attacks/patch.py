@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .common import IMAGENET, Normalizer
+from .common import IMAGENET, Normalizer, to_unit_floats
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,6 +225,7 @@ def make_apply_patch(cfg: PatchConfig, *,
 
     @jax.jit
     def run_impl(images, patch, rng, scale, mask):
+        images = to_unit_floats(images)
         n, image_size = images.shape[0], images.shape[1]
         r_t, r_xy, r_b = jax.random.split(rng, 3)
         scale_b = jnp.full((n,), scale)

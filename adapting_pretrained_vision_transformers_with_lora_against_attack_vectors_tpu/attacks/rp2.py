@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import IMAGENET, Normalizer
+from .common import IMAGENET, Normalizer, to_unit_floats
 from .patch import PatchConfig, make_apply_patch, make_train_patch, patch_mask
 
 
@@ -69,6 +69,7 @@ def make_sign_constrained_apply(cfg: PatchConfig, *,
 
     @jax.jit
     def run(images, patch, rng, scale):
+        images = to_unit_floats(images)
         patched = apply_fn(images, patch, rng, scale)
         m = sign_mask(images.shape[1], radius_frac=radius_frac)
         return images * (1.0 - m) + patched * m

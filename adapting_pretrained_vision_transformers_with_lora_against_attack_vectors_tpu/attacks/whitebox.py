@@ -31,7 +31,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from .common import IMAGENET, Normalizer, linf_project, sum_cross_entropy
+from .common import (IMAGENET, Normalizer, linf_project, sum_cross_entropy,
+                     to_unit_floats)
 
 # apply_fn: (params, images_normalized) -> logits. Factories below take the
 # registry-style (entry_apply, cfg) pair and a Normalizer and build this.
@@ -82,7 +83,8 @@ def make_fgsm(entry_apply: Callable, cfg, *, eps: float,
 
     @jax.jit
     def run(params, images, labels):
-        return fgsm(apply_fn, params, images, labels, eps=eps, normalize=normalize)
+        return fgsm(apply_fn, params, to_unit_floats(images), labels, eps=eps,
+                    normalize=normalize)
 
     return run
 
@@ -98,8 +100,8 @@ def make_pgd(entry_apply: Callable, cfg, *, eps: float, alpha: float, steps: int
 
     @jax.jit
     def run(params, images, labels, rng):
-        return pgd(apply_fn, params, images, labels, eps=eps, alpha=alpha,
-                   steps=steps, random_start=random_start, rng=rng,
-                   normalize=normalize)
+        return pgd(apply_fn, params, to_unit_floats(images), labels, eps=eps,
+                   alpha=alpha, steps=steps, random_start=random_start,
+                   rng=rng, normalize=normalize)
 
     return run

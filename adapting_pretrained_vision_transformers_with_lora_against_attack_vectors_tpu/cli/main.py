@@ -561,6 +561,13 @@ def cmd_eval_compose(args):
         args.rank)
     if not adapters:
         print("warning: no adapters found; evaluating base only")
+    missing = [a for a in args.attacks if a not in adapters]
+    if missing and adapters:
+        # variants are enumerated over the FOUND adapters — make the
+        # shrunken matrix explicit instead of silently dropping every
+        # variant containing a requested-but-missing attack
+        print(f"warning: no adapter for {missing} — every variant "
+              f"containing them is omitted from the matrix")
 
     results = compose.run_composability_eval(
         entry, params, adapters, loaders, len(vocab),

@@ -84,15 +84,32 @@ def save_images(images, filenames: Sequence[str], output_dir: str, *,
 
 
 def create_adv_metadata(clean_meta: str | pd.DataFrame, filenames: Iterable[str],
-                        adv_dir: str) -> pd.DataFrame:
-    """Clean metadata rows whose basename is in ``filenames``, re-pointed at
-    ``adv_dir`` (same row order/columns as the reference's version)."""
+                        adv_dir: str, *,
+                        originals: Optional[Iterable[str]] = None) -> pd.DataFrame:
+    """Clean metadata rows matching ``filenames``, re-pointed at ``adv_dir``
+    (same row order/columns as the reference's version).
+
+    ``originals``: parallel iterable of the clean basename each written file
+    came from — needed when duplicate basenames were disambiguated by the
+    writer (attacks/generate). Each written file is consumed by exactly ONE
+    clean row (in row order), so k duplicate rows map to the k files written
+    for them instead of all pointing at one surviving PNG."""
     df = read_metadata(clean_meta) if isinstance(clean_meta, str) else clean_meta
-    names = set(filenames)
-    mask = df["image_path"].map(lambda p: os.path.basename(p) in names)
-    adv = df[mask].copy()
-    adv["image_path"] = adv["image_path"].map(
-        lambda p: os.path.join(adv_dir, os.path.basename(p)))
+    written = list(filenames)
+    origs = list(originals) if originals is not None else list(written)
+    from collections import defaultdict, deque
+
+    by_orig: dict[str, deque] = defaultdict(deque)
+    for w, o in zip(written, origs):
+        by_orig[o].append(w)
+    keep_idx, new_paths = [], []
+    for i, p in enumerate(df["image_path"]):
+        q = by_orig.get(os.path.basename(str(p)))
+        if q:
+            keep_idx.append(i)
+            new_paths.append(os.path.join(adv_dir, q.popleft()))
+    adv = df.iloc[keep_idx].copy()
+    adv["image_path"] = new_paths
     return adv
 
 

@@ -214,3 +214,39 @@ class Loader:
                     q.get_nowait()
                 except queue.Empty:
                     break
+
+
+class CachedLoader:
+    """Replayable wrapper: decode the underlying loader once, then serve the
+    batches from host RAM on every later iteration.
+
+    For consumers that sweep the same split many times (eval/compose runs
+    |variants| passes per dataset — 16 with four adapters), the host PNG
+    decode dominates repeat cost; this removes it after the first pass.
+    Caches only when (a) the loader is unshuffled (a shuffling loader yields
+    a DIFFERENT epoch order each pass — replaying would silently change
+    semantics) and (b) the estimated decoded size fits ``max_bytes``;
+    otherwise it degrades to a transparent pass-through.
+    """
+
+    def __init__(self, loader: Loader, *, max_bytes: int = 4 << 30):
+        self.loader = loader
+        est = len(loader.index) * loader.image_size * loader.image_size * 3
+        self._cache: Optional[list[Batch]] = (
+            [] if (not loader.shuffle and est <= max_bytes) else None)
+        self._filled = False
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self._cache is None:
+            yield from self.loader
+            return
+        if self._filled:
+            yield from self._cache
+            return
+        for b in self.loader:
+            self._cache.append(b)
+            yield b
+        self._filled = True

@@ -31,7 +31,7 @@ import jax
 import numpy as np
 
 from ..attacks.common import Normalizer
-from ..data.loader import Loader
+from ..data.loader import CachedLoader, Loader
 from ..models.registry import ModelEntry, get_normalization
 from ..ops import lora, peft_io
 from ..train.loop import evaluate
@@ -99,11 +99,11 @@ def find_lora_adapters(lora_root: str, attacks: Sequence[str], rank: int,
     suffix = f"rank{rank}_{tag}_adapter"
     for attack in attacks:
         candidates = [os.path.join(lora_root, attack, suffix)]
-        if model is not None and source is not None:
-            candidates.append(
-                os.path.join(lora_root, model, source, attack, suffix))
-        candidates.extend(sorted(
-            glob.glob(os.path.join(lora_root, "*", "*", attack, suffix))))
+        # nested layout: pin whichever of model/source was given — an
+        # unpinned "*" there could silently load a DIFFERENT model's or
+        # source's adapter when several trees share one lora_root
+        candidates.extend(sorted(glob.glob(os.path.join(
+            lora_root, model or "*", source or "*", attack, suffix))))
         hit = next((d for d in candidates if os.path.isdir(d)), None)
         if hit is None:
             log(f"find_lora_adapters: no {attack!r} adapter "
@@ -138,11 +138,13 @@ def run_composability_eval(
     normalize = normalize or Normalizer(*get_normalization(entry.name))
     eval_step = make_eval_step(lambda p, x: entry.apply(cfg, p, x),
                                num_classes, normalize=normalize)
+    # each dataset is consumed once per variant — decode it once and replay
+    # from host RAM (pass-through for shuffled/oversized loaders)
+    dataloaders = {k: v if isinstance(v, CachedLoader) else CachedLoader(v)
+                   for k, v in dataloaders.items()}
 
     results: dict[str, dict] = {}
     for name, combo in enumerate_variants(tuple(adapters), test_mode=test_mode):
-        if any(a not in adapters for a in combo):
-            continue
         params = build_variant_params(base_params, combo, adapters)
         params = jax.device_put(params)
         results[name] = {}

@@ -28,15 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from ..attacks.common import IMAGENET, Normalizer
-
-
-def _to_unit_floats(images: jax.Array) -> jax.Array:
-    """Trace-time dtype branch: uint8 batches (shipped over the wire at 1/4
-    the f32 bytes — train/loop._device_batch) become [0,1] floats ON DEVICE;
-    float inputs (already [0,1], e.g. adversarial tensors) pass through."""
-    if images.dtype == jnp.uint8:
-        return images.astype(jnp.float32) / 255.0
-    return images
+from ..attacks.common import to_unit_floats as _to_unit_floats
 
 
 class TrainState(NamedTuple):

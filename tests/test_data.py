@@ -215,3 +215,112 @@ def test_loader_early_break_shuts_down(tmp_path):
             break
         time.sleep(0.1)
     assert threading.active_count() <= before + 1
+
+
+def test_create_adv_metadata_duplicate_basenames(tmp_path):
+    """Duplicate basenames across class dirs (GTSRB track/frame stems) must
+    not collapse onto one PNG: each written file is consumed by exactly one
+    clean row, in row order (round-3 review finding)."""
+    import pandas as pd
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data import io as data_io
+
+    clean = pd.DataFrame({
+        "image_path": ["images/stop/0001.png", "images/yield/0001.png",
+                       "images/stop/0002.png"],
+        "unified_class": ["stop", "yield", "stop"],
+    })
+    # writer disambiguated the second 0001.png to 0001__1.png
+    written = ["0001.png", "0001__1.png", "0002.png"]
+    origs = ["0001.png", "0001.png", "0002.png"]
+    adv = data_io.create_adv_metadata(clean, written, "/adv", originals=origs)
+    assert list(adv["image_path"]) == ["/adv/0001.png", "/adv/0001__1.png",
+                                       "/adv/0002.png"]
+    assert list(adv["unified_class"]) == ["stop", "yield", "stop"]
+
+    # without originals (no duplicates) behavior is unchanged
+    adv2 = data_io.create_adv_metadata(clean.iloc[2:], ["0002.png"], "/adv")
+    assert list(adv2["image_path"]) == ["/adv/0002.png"]
+
+
+def test_generate_split_disambiguates_duplicate_names(tmp_path):
+    """End-to-end: two rows with the same basename produce two distinct
+    adversarial PNGs and two metadata rows with correct labels."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import generate
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import Loader, MetadataIndex
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+
+    rows = []
+    for cls in ("stop", "yield"):
+        d = tmp_path / "images" / cls
+        d.mkdir(parents=True)
+        arr = np.full((16, 16, 3), 60 if cls == "stop" else 200, np.uint8)
+        Image.fromarray(arr).save(d / "0001.png")
+        rows.append({"image_path": str(d / "0001.png"), "unified_class": cls})
+    meta = pd.DataFrame(rows)
+    vocab = LabelVocabulary(("stop", "yield"))
+    idx = MetadataIndex(meta, vocab, root_dir=str(tmp_path))
+    loader = Loader(idx, batch_size=2, image_size=16, resize=16)
+
+    identity = lambda p, im, lb, r: jnp.asarray(im, jnp.float32) / (
+        255.0 if im.dtype == jnp.uint8 else 1.0)
+    out = tmp_path / "adv"
+    adv_meta = generate.generate_adversarial_split(
+        identity, None, loader, out_dir=str(out), clean_metadata=meta)
+    names = sorted(os.listdir(out / "images"))
+    assert names == ["0001.png", "0001__1.png"]
+    assert len(adv_meta) == 2
+    assert list(adv_meta["unified_class"]) == ["stop", "yield"]
+    # labels stayed attached to the right pixels: stop row decodes dark
+    a0 = np.asarray(Image.open(adv_meta.iloc[0]["image_path"]))
+    a1 = np.asarray(Image.open(adv_meta.iloc[1]["image_path"]))
+    assert a0.mean() < 120 < a1.mean()
+
+
+def test_cached_loader_replays_identical_batches(tmp_path):
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import (
+        CachedLoader, Loader, MetadataIndex)
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+    import pandas as pd
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rows = []
+    for i in range(5):
+        Image.fromarray(np.full((16, 16, 3), 40 * i, np.uint8)).save(
+            d / f"{i}.png")
+        rows.append({"image_path": str(d / f"{i}.png"),
+                     "unified_class": "stop"})
+    vocab = LabelVocabulary(("stop",))
+    idx = MetadataIndex(pd.DataFrame(rows), vocab, root_dir=str(tmp_path))
+    loader = Loader(idx, batch_size=2, image_size=16, resize=16)
+
+    decodes = {"n": 0}
+    orig = Loader._decode
+
+    def counting(self, i):
+        decodes["n"] += 1
+        return orig(self, i)
+
+    Loader._decode = counting
+    try:
+        cl = CachedLoader(loader)
+        first = [(b.images.copy(), b.labels.copy(), b.valid.copy())
+                 for b in cl]
+        n_after_first = decodes["n"]
+        second = [(b.images, b.labels, b.valid) for b in cl]
+    finally:
+        Loader._decode = orig
+    assert decodes["n"] == n_after_first  # replay decodes nothing
+    assert len(first) == len(second) == len(cl)
+    for (i1, l1, v1), (i2, l2, v2) in zip(first, second):
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(v1, v2)
+
+    # shuffled loaders must NOT cache (replay would freeze the epoch order)
+    sl = Loader(idx, batch_size=2, image_size=16, resize=16, shuffle=True)
+    assert CachedLoader(sl)._cache is None
