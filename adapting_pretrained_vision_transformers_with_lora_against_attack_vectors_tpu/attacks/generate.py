@@ -40,7 +40,11 @@ def generate_adversarial_split(
 
     Writes ``{out_dir}/images/*.png`` and ``{out_dir}/metadata.csv``; returns
     the adversarial metadata frame (reference whitebox_attacks.py:115-179
-    per-split loop + Utils.create_adv_metadata semantics).
+    per-split loop + Utils.create_adv_metadata semantics). Metadata rows are
+    paired through the loader's own sample index (``MetadataIndex.frame``),
+    so duplicate basenames, skipped rows, and shuffled order cannot mislabel
+    an output; ``clean_metadata`` is only consulted for loaders without an
+    index frame.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -50,8 +54,9 @@ def generate_adversarial_split(
 
     all_names: list[str] = []  # unique written filenames, in loader order
     all_origs: list[str] = []  # the clean basename each written file is for
+    all_ids: list[int] = []  # MetadataIndex sample positions (exact rows)
     seen: dict[str, int] = {}
-    pending: Optional[tuple] = None  # (device adv array, valid, names)
+    pending: Optional[tuple] = None  # (device adv array, valid, names, ids)
 
     def unique_name(name: str) -> str:
         # a split can contain duplicate basenames across class directories
@@ -66,7 +71,7 @@ def generate_adversarial_split(
         return f"{stem}__{k}{ext}"
 
     with ThreadPoolExecutor(max_workers=8) as pool:  # one pool per split
-        def flush(adv, valid, names):
+        def flush(adv, valid, names, ids):
             # checksum-verified fetch (utils/transfer): this is THE
             # adversarial-artifact write path — a corrupted fetch here would
             # silently poison every downstream training/eval stage
@@ -79,6 +84,8 @@ def generate_adversarial_split(
             data_io.save_images(adv_np[keep], uniq, img_dir, pool=pool)
             all_names.extend(uniq)
             all_origs.extend(origs)
+            if ids is not None:
+                all_ids.extend(int(ids[i]) for i in keep)
 
         for k, batch in enumerate(loader):
             # uint8 over the wire (4x fewer bytes than f32 on the remote-TPU
@@ -95,12 +102,24 @@ def generate_adversarial_split(
             adv = attack_fn(params, images, labels, jax.random.fold_in(rng, k))
             if pending is not None:
                 flush(*pending)  # encode batch k-1 while the device runs k
-            pending = (adv, batch.valid, batch.filenames)
+            pending = (adv, batch.valid, batch.filenames,
+                       getattr(batch, "ids", None))
         if pending is not None:
             flush(*pending)
 
-    adv_meta = data_io.create_adv_metadata(clean_metadata, all_names, img_dir,
-                                           originals=all_origs)
+    frame = getattr(getattr(loader, "index", None), "frame", None)
+    if frame is not None and len(all_ids) == len(all_names):
+        # exact pairing: each written file's metadata row comes from the
+        # loader's own sample index — immune to duplicate basenames, rows
+        # skipped for missing images, and shuffled iteration order (rows are
+        # re-sorted into metadata order below)
+        order = np.argsort(np.asarray(all_ids), kind="stable")
+        adv_meta = frame.iloc[[all_ids[i] for i in order]].copy()
+        adv_meta["image_path"] = [os.path.join(img_dir, all_names[i])
+                                  for i in order]
+    else:  # custom loader without an index frame: basename matching
+        adv_meta = data_io.create_adv_metadata(
+            clean_metadata, all_names, img_dir, originals=all_origs)
     data_io.save_metadata(adv_meta, os.path.join(out_dir, "metadata.csv"))
     return adv_meta
 

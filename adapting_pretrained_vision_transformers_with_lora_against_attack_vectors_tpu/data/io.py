@@ -99,6 +99,9 @@ def create_adv_metadata(clean_meta: str | pd.DataFrame, filenames: Iterable[str]
     origs = list(originals) if originals is not None else list(written)
     from collections import defaultdict, deque
 
+    if len(written) != len(origs):
+        raise ValueError(f"filenames ({len(written)}) and originals "
+                         f"({len(origs)}) must be parallel")
     by_orig: dict[str, deque] = defaultdict(deque)
     for w, o in zip(written, origs):
         by_orig[o].append(w)

@@ -46,6 +46,11 @@ class Batch:
     labels: np.ndarray  # (B,) int32
     valid: np.ndarray  # (B,) float32, 0 for padding
     filenames: list[str]
+    # sample positions into the owning MetadataIndex (len == #real samples;
+    # padding rows have none) — artifact writers use these to pair outputs
+    # with their exact metadata rows (duplicate basenames / skipped rows /
+    # shuffled order are all ambiguous by name alone)
+    ids: Optional[np.ndarray] = None
 
     def images_f32(self) -> np.ndarray:
         return self.images.astype(np.float32) / 255.0
@@ -63,8 +68,8 @@ class MetadataIndex:
 
         self.vocab = vocab
         self.root_dir = root_dir
-        paths, labels, filenames, missing = [], [], [], 0
-        for row in df.itertuples():
+        paths, labels, filenames, kept, missing = [], [], [], [], 0
+        for pos, row in enumerate(df.itertuples()):
             resolved = resolve_image_path(str(row.image_path), meta_dir, root_dir)
             if resolved is None:
                 if strict:
@@ -74,11 +79,17 @@ class MetadataIndex:
             paths.append(resolved)
             labels.append(vocab.index_of(str(row.unified_class)))
             filenames.append(os.path.basename(resolved))
+            kept.append(pos)
         if missing:
             print(f"MetadataIndex: skipped {missing} rows with missing images")
         self.paths = paths
         self.labels = np.asarray(labels, np.int32)
         self.filenames = filenames
+        # metadata rows of the RETAINED samples, position-aligned with
+        # paths/labels/filenames: sample i <-> frame.iloc[i]. Artifact
+        # writers (attacks/generate) build adversarial metadata from this,
+        # never by basename matching.
+        self.frame = df.iloc[kept].reset_index(drop=True)
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -95,6 +106,11 @@ class Loader:
                  decode_backend: str = "auto"):
         self.index = index
         self.batch_size = batch_size
+        if resize < image_size:
+            # the native path raises mid-epoch from a worker thread and the
+            # PIL path silently black-pads — fail loudly at construction
+            raise ValueError(f"resize ({resize}) must be >= image_size "
+                             f"({image_size})")
         self.image_size = image_size
         self.resize = resize
         self.shuffle = shuffle
@@ -134,6 +150,14 @@ class Loader:
                     data, self.resize, self.image_size)
                 if out is not None:
                     return out
+                # exotic PNG (16-bit/interlaced/...): reuse the bytes already
+                # in memory instead of re-reading the file for PIL
+                import io as _io
+
+                with Image.open(_io.BytesIO(data)) as img:
+                    arr = np.asarray(img.convert("RGB"), np.uint8)
+                    return self._native.resize_center_crop(
+                        arr, self.resize, self.image_size)
             with Image.open(path) as img:
                 arr = np.asarray(img.convert("RGB"), np.uint8)
                 return self._native.resize_center_crop(
@@ -165,7 +189,7 @@ class Loader:
             valid = np.concatenate([np.ones(len(idxs), np.float32),
                                     np.zeros(pad, np.float32)])
             names = [self.index.filenames[i] for i in idxs]
-            return Batch(images, labels, valid, names)
+            return Batch(images, labels, valid, names, ids=np.asarray(idxs))
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -246,7 +270,12 @@ class CachedLoader:
         if self._filled:
             yield from self._cache
             return
+        # fill a LOCAL list and publish only on clean completion: an
+        # interrupted first pass (mid-epoch decode error, consumer break)
+        # must not leave a stale prefix that a retry would duplicate
+        fill: list[Batch] = []
         for b in self.loader:
-            self._cache.append(b)
+            fill.append(b)
             yield b
+        self._cache = fill
         self._filled = True

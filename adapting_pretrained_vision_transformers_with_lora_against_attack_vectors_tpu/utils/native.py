@@ -51,9 +51,21 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     return lib
 
 
+# Upper bound on PNG dimensions the native decoders will allocate for: a
+# corrupt-but-well-formed IHDR can claim 2^30 x 2^30 and the blind
+# np.empty/C++ resize would OOM (or std::terminate through the extern "C"
+# boundary). Anything larger falls back to PIL, which validates properly.
+_MAX_PNG_DIM = 16384
+
+
 def load(*, build: bool = True) -> Optional[ctypes.CDLL]:
     """The library handle, building it on first use; None if unavailable."""
     global _LIB, _TRIED
+    if _LIB is not None:
+        # lock-free fast path: _LIB is assigned exactly once under _LOCK and
+        # never reset — the 8 decode threads must not convoy on the lock for
+        # every image
+        return _LIB
     if os.environ.get("APVT_NATIVE", "1") == "0":
         return None
     with _LOCK:
@@ -139,6 +151,8 @@ def decode_png_rgb(data: bytes) -> Optional[np.ndarray]:
     if lib.apvt_png_info(_u8ptr(buf), len(data), ctypes.byref(h),
                          ctypes.byref(w)) != 0:
         return None
+    if h.value > _MAX_PNG_DIM or w.value > _MAX_PNG_DIM:
+        return None  # untrusted IHDR claims absurd dims -> PIL validates
     out = np.empty((h.value, w.value, 3), np.uint8)
     if lib.apvt_png_decode_rgb(_u8ptr(buf), len(data), _u8ptr(out)) != 0:
         return None
@@ -156,6 +170,15 @@ def decode_png_resize_center_crop(data: bytes, resize: int,
     if crop > resize:
         raise ValueError(f"crop ({crop}) must be <= resize ({resize})")
     buf = np.frombuffer(data, np.uint8)
+    # gate the fused C++ decode on a header parse: its internal row buffer
+    # is sized from the untrusted IHDR dims, and a bad_alloc would escape
+    # the extern "C" boundary as std::terminate
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.apvt_png_info(_u8ptr(buf), len(data), ctypes.byref(h),
+                         ctypes.byref(w)) != 0:
+        return None
+    if h.value > _MAX_PNG_DIM or w.value > _MAX_PNG_DIM:
+        return None
     out = np.empty((crop, crop, 3), np.uint8)
     if lib.apvt_png_decode_resize_center_crop(
             _u8ptr(buf), len(data), resize, crop, _u8ptr(out)) != 0:

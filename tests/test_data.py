@@ -324,3 +324,37 @@ def test_cached_loader_replays_identical_batches(tmp_path):
     # shuffled loaders must NOT cache (replay would freeze the epoch order)
     sl = Loader(idx, batch_size=2, image_size=16, resize=16, shuffle=True)
     assert CachedLoader(sl)._cache is None
+
+
+def test_generate_pairs_rows_despite_skipped_duplicate(tmp_path):
+    """A metadata row whose image file is MISSING shares its basename with a
+    later, present row of a different class: the adversarial metadata must
+    carry the present row's class (index-based pairing), not the skipped
+    row's (the old basename matching consumed the written file for the
+    wrong row)."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import generate
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.data.loader import Loader, MetadataIndex
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils.vocab import LabelVocabulary
+
+    d = tmp_path / "images" / "yield"
+    d.mkdir(parents=True)
+    Image.fromarray(np.full((16, 16, 3), 200, np.uint8)).save(d / "a.png")
+    meta = pd.DataFrame([
+        {"image_path": str(tmp_path / "images" / "stop" / "a.png"),  # absent
+         "unified_class": "stop"},
+        {"image_path": str(d / "a.png"), "unified_class": "yield"},
+    ])
+    vocab = LabelVocabulary(("stop", "yield"))
+    idx = MetadataIndex(meta, vocab, root_dir=str(tmp_path))
+    assert len(idx) == 1  # the stop row was skipped (missing file)
+    loader = Loader(idx, batch_size=2, image_size=16, resize=16)
+
+    identity = lambda p, im, lb, r: jnp.asarray(im, jnp.float32) / 255.0
+    adv_meta = generate.generate_adversarial_split(
+        identity, None, loader, out_dir=str(tmp_path / "adv"),
+        clean_metadata=meta)
+    assert len(adv_meta) == 1
+    assert adv_meta.iloc[0]["unified_class"] == "yield"
