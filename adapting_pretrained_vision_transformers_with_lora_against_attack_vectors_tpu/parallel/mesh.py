@@ -60,8 +60,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Device-put each array with its leading axis split over the data axis."""
-    out = tuple(jax.device_put(a, batch_sharding(mesh, max(a.ndim, 1))) for a in arrays)
+    """Device-put each array with its leading axis split over the data axis;
+    rank-0 arrays (scalars riding along with a batch) are replicated — a
+    rank-1 spec on a 0-d array would make device_put raise."""
+    out = tuple(jax.device_put(
+        a, batch_sharding(mesh, a.ndim) if a.ndim else replicated(mesh))
+        for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

@@ -251,7 +251,7 @@ def train_base_model(
 
     resume_prefix = os.path.join(out_dir, "resume")
     init_state, start_epoch, init_best = None, 0, None
-    if resume and os.path.exists(resume_prefix + ".params.safetensors"):
+    if resume and checkpoint.train_state_exists(resume_prefix):
         init_state, meta = checkpoint.load_train_state(
             resume_prefix, tx, state_cls=TrainState)
         start_epoch = int(meta.get("epoch", -1)) + 1

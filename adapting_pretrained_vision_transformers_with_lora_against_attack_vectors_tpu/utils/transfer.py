@@ -58,17 +58,31 @@ def _device_checksums(tree: Any):
     return jax.tree.map(_device_checksum_leaf, tree)
 
 
+_CHECKSUM_CHUNK = 1 << 22  # words per block: bounds temporaries to ~64 MB
+
+
 def _host_checksum_leaf(a: np.ndarray) -> int:
     a = np.ascontiguousarray(a)
     if a.dtype == np.bool_:
         a = a.astype(np.uint8)
     word = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint32}[a.dtype.itemsize]
-    w = a.view(word if a.dtype.itemsize != 8 else np.uint32).reshape(-1)
-    idx = np.arange(1, w.size + 1, dtype=np.uint64)
-    # truncate each product to uint32 (device multiplies wrap mod 2^32),
-    # then accumulate in uint64 (no overflow below 2^32 terms) and truncate
-    prods = (w.astype(np.uint64) * idx) & 0xFFFFFFFF
-    return int(prods.sum() & 0xFFFFFFFF)
+    # reshape BEFORE the dtype view: numpy forbids itemsize-changing views
+    # of 0-d arrays (a scalar int64 leaf would crash here otherwise)
+    w = a.reshape(-1).view(word if a.dtype.itemsize != 8 else np.uint32)
+    # Blocked accumulation: the naive arange+product allocates ~16 B of
+    # uint64 temporaries per word (≈450 MB for a stacked ViT MLP leaf) on
+    # every artifact fetch; blocks bound it to a few MB with identical
+    # results. Index weights are (i+1) mod 2^32 — the device iota is
+    # uint32, so the host must wrap identically for >=2^32-word leaves.
+    total = 0
+    for start in range(0, w.size, _CHECKSUM_CHUNK):
+        blk = w[start:start + _CHECKSUM_CHUNK].astype(np.uint64)
+        idx = (np.arange(start + 1, start + 1 + blk.size,
+                         dtype=np.uint64)) & 0xFFFFFFFF
+        # truncate each product to uint32 (device multiplies wrap mod 2^32);
+        # the block sum of <=2^22 terms < 2^54 fits uint64 without overflow
+        total = (total + int(((blk * idx) & 0xFFFFFFFF).sum())) & 0xFFFFFFFF
+    return total
 
 
 def verified_get(tree: Any, *, retries: int = 3) -> Any:
@@ -108,13 +122,14 @@ def verified_get(tree: Any, *, retries: int = 3) -> Any:
         if not still_bad:
             break
         pending = still_bad
-        import warnings
+        if attempt < retries:  # a retry actually follows; the final
+            import warnings  # mismatch is reported by the raise below
 
-        shapes = [tuple(dev_leaves[k].shape) for k in pending]
-        warnings.warn(
-            f"device->host transfer checksum mismatch on {len(pending)} "
-            f"leaf/leaves {shapes}; retrying after backoff "
-            f"(attempt {attempt + 1})", stacklevel=2)
+            shapes = [tuple(dev_leaves[k].shape) for k in pending]
+            warnings.warn(
+                f"device->host transfer checksum mismatch on {len(pending)} "
+                f"leaf/leaves {shapes}; retrying after backoff "
+                f"(attempt {attempt + 1})", stacklevel=2)
     else:
         shapes = [tuple(dev_leaves[k].shape) for k in pending]
         raise RuntimeError(

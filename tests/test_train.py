@@ -118,7 +118,7 @@ def test_train_base_model_resume(tmp_path):
     # run 1: one epoch, writes resume state
     loop.train_base_model(entry, params, mk("train"), mk("val"), None, vocab,
                           out_dir=out, epochs=1, log=lambda s: None)
-    assert os.path.exists(os.path.join(out, "resume.params.safetensors"))
+    assert os.path.exists(os.path.join(out, "resume.state.safetensors"))
 
     # run 2: resume to epoch 2 — history starts at epoch 1
     logs = []
