@@ -1,5 +1,17 @@
 """Fully-fused ViT attention half-block Pallas kernel (round-3 follow-up).
 
+MEASURED NEGATIVE on v5e hardware (round 3, tools/tpu_parity_attn_block.py):
+27.2 ms fwd+dx per call vs 4.66 ms for the XLA composition at flagship
+geometry (B=64, N=197, C=768, H=12, bf16) — the one-program-per-batch-
+element grid underfills the chip and the ~13.5 MB VMEM residency blocks
+double-buffering, costing far more MXU utilization than the saved HBM
+traffic is worth. Hardware parity PASSES (fwd 2.0e-3 / dx 3.9e-3), so the
+kernel is kept as a correct, pinned, documented-negative record; do not
+enable it for performance. The MLP half of the fused-block idea measured
+POSITIVE and ships separately (``ViTConfig.fuse_ln_mlp`` ->
+``kernels/mlp.py:fused_ln_mlp``). See PERF.md "Measured: the fully-fused
+encoder block".
+
 Fuses ``LN1 -> q/k/v projections -> multi-head attention -> o-projection``
 into ONE grid program per batch element, so the five intermediates the
 status-quo path round-trips through HBM every layer (``h`` after LN, the

@@ -58,6 +58,19 @@ class ViTConfig:
     # carries an OrderedIOEffect that jax.checkpoint's partial-eval rejects,
     # so the remat+fused combination has no off-TPU test path.
     fuse_attn_block: bool = False
+    # LN2-fused MLP half-block alone (kernels/mlp.py:fused_ln_mlp), without
+    # the attention half. Decoupled because the two halves measured in
+    # opposite directions on v5e at kernel level (tools/
+    # tpu_parity_attn_block.py, round 3): fused LN-MLP fwd+dx 2.80 ms vs
+    # 3.61 ms XLA (1.29x win), fused attn-block 27.2 ms vs 4.66 ms (5.8x
+    # loss — its one-program-per-batch-element grid underfills the chip).
+    # END-TO-END the LN-MLP fusion still LOSES ~3.6% (PGD-10 ViT-B 152.5 vs
+    # 158.2 imgs/s, two runs each): inside the full unrolled program XLA
+    # fuses LN2 into neighboring ops and pipelines across layers, which the
+    # isolated microbench could not credit. Kept opt-in as the measured
+    # record — do not enable for performance. PERF.md "Measured: the
+    # fully-fused encoder block". ``fuse_attn_block`` implies this.
+    fuse_ln_mlp: bool = False
     # Python-unroll the layer loop instead of lax.scan. The scan's backward
     # saves per-layer residuals via dynamic-update-slice into stacked HBM
     # buffers — profiled at ~26% of PGD runtime on v5e (round-2 trace);
@@ -198,7 +211,8 @@ def _mlp_half(cfg: ViTConfig, bp: dict, x: jax.Array) -> jax.Array:
     # Fully-fused block mode (cfg.fuse_attn_block): fold LN2 into the MLP
     # kernel too, so the whole encoder block is two Pallas programs + two
     # residual adds. Same eligibility rules as the attention half.
-    if (cfg.fuse_attn_block and jnp.dtype(cd).itemsize == 2 and all(
+    if ((cfg.fuse_attn_block or cfg.fuse_ln_mlp)
+            and jnp.dtype(cd).itemsize == 2 and all(
             "lora_a" not in f and "w_q" not in f for f in (fc1, fc2))):
         from ..kernels.mlp import fits_vmem_ln, fused_ln_mlp
 

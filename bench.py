@@ -65,10 +65,17 @@ PERF.md "int8 attack path".
 BENCH_VARIANT=fusedblock runs the fully-fused encoder block: the attention
 half through the LN1+QKV+MHA+O kernel (kernels/attn_block.py) and the MLP
 half through the LN2-fused MLP kernel (kernels/mlp.py:fused_ln_mlp) — two
-Pallas programs + two residual adds per layer, merged params otherwise
-identical to the default; candidate to replace the packed-kernel config if
-it measures faster (unmeasured: built while the chip was unreachable, see
-NOTES_NEXT_ROUND.md).
+Pallas programs + two residual adds per layer. Measured on v5e (round 3,
+tools/tpu_parity_attn_block.py): the attention half LOSES 5.8x at kernel
+level (27.2 vs 4.66 ms fwd+dx — one-program-per-batch-element underfills
+the chip), so this variant is kept only as the measured-negative record.
+BENCH_VARIANT=lnmlp enables just the LN2-fused MLP half (the half that WON
+its kernel-level A/B: 2.80 vs 3.61 ms fwd+dx) on top of the default
+packed-attention config. End-to-end it measured a reproducible ~3.6% LOSS
+(152.5 vs 158.2 imgs/s, two runs each): XLA fuses LN2 into neighbors and
+pipelines across layers in the full program, which the isolated kernel
+comparison cannot credit. Kept as the measured-negative record; the
+default stays packed-attention + XLA MLP.
 
 Per-backbone zoo numbers live in `tools/bench_zoo.py --json` (committed as
 ZOO_r*.json); this file keeps the driver contract of one JSON line.
@@ -110,7 +117,8 @@ def measure() -> None:
     cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
                               use_fused_attention=True, unroll_layers=True,
                               use_fused_mlp=fused_mlp,
-                              fuse_attn_block=(variant == "fusedblock"))
+                              fuse_attn_block=(variant == "fusedblock"),
+                              fuse_ln_mlp=(variant == "lnmlp"))
     lcfg = lora.LoRAConfig(rank=8, alpha=16.0, targets=vit.LORA_TARGETS_DEFAULT)
 
     # One jitted setup program (eager init would cost hundreds of per-op

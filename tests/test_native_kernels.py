@@ -590,6 +590,43 @@ def test_fully_fused_block_inside_pgd_scan(monkeypatch):
         assert ce(adv) > ce(np.asarray(x))  # ascent happened through the kernels
 
 
+def test_fuse_ln_mlp_alone_vit_flag_interpret(monkeypatch):
+    """ViTConfig.fuse_ln_mlp (without fuse_attn_block) routes ONLY the MLP
+    half through its kernel — the measured-winning half of the round-3
+    hardware A/B — while attention stays on the packed/XLA path; model
+    matches the plain path forward and input-grad."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import attn_block as kab
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import mlp as km
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+
+    base = dataclasses.replace(vit.VIT_TEST, compute_dtype="bfloat16")
+    cfg = dataclasses.replace(base, fuse_ln_mlp=True)
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    ref = vit.apply(base, params, x)
+    g_ref = jax.grad(lambda im: jnp.sum(vit.apply(base, params, im)))(x)
+
+    calls = {"attn": 0, "mlp": 0}
+    orig_a, orig_m = kab.fused_attn_block, km.fused_ln_mlp
+    monkeypatch.setattr(kab, "fused_attn_block", lambda *a: (
+        calls.__setitem__("attn", calls["attn"] + 1), orig_a(*a))[1])
+    monkeypatch.setattr(km, "fused_ln_mlp", lambda *a: (
+        calls.__setitem__("mlp", calls["mlp"] + 1), orig_m(*a))[1])
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        out = vit.apply(cfg, params, x)
+        g = jax.grad(lambda im: jnp.sum(vit.apply(cfg, params, im)))(x)
+    assert calls["mlp"] and not calls["attn"], calls
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_fused_ln_mlp_convnext_flag_interpret(monkeypatch):
     """ConvNeXtConfig.fuse_ln_mlp routes the LN+pointwise-MLP chain through
     the kernel (spied) and matches the plain model at bf16."""
