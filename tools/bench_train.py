@@ -40,8 +40,13 @@ V5E_PEAK_TFLOPS = 197.0  # bf16
 GF_PER_IMG = {"full": 128.0, "lora": 88.0}  # analytic, see docstring
 
 
-def bench_mode(mode: str, batch: int, iters: int, augment: bool,
+def build_step(mode: str, batch: int, augment: bool,
                tiny: bool = False, fused_block: bool = False) -> dict:
+    """Build the flagship train step exactly as the bench times it.
+
+    Returns ``{"step", "state", "images", "labels", "valid", "model"}`` so
+    the profiler (tools/profile_train.py) traces the identical program.
+    """
     import jax
 
     if tiny:  # CPU smoke: the env's sitecustomize pins jax_platforms=axon,cpu
@@ -109,6 +114,18 @@ def bench_mode(mode: str, batch: int, iters: int, augment: bool,
     labels = jax.device_put(jax.random.randint(
         jax.random.fold_in(rng, 3), (batch,), 0, cfg.num_classes))
     valid = jax.device_put(jnp.ones((batch,), jnp.float32))
+    return {"step": step, "state": state, "images": images, "labels": labels,
+            "valid": valid, "model": model}
+
+
+def bench_mode(mode: str, batch: int, iters: int, augment: bool,
+               tiny: bool = False, fused_block: bool = False) -> dict:
+    import jax
+
+    built = build_step(mode, batch, augment, tiny=tiny, fused_block=fused_block)
+    step, state = built["step"], built["state"]
+    images, labels, valid = built["images"], built["labels"], built["valid"]
+    model = built["model"]
 
     state, m = step(state, images, labels, valid)  # compile + warmup
     float(m["loss_sum"])

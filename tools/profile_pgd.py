@@ -13,12 +13,13 @@ Usage: python tools/profile_pgd.py [--out /tmp/jax-trace] [--scan] [--batch 64]
 from __future__ import annotations
 
 import argparse
-import collections
 import dataclasses
-import glob
-import gzip
-import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trace_table import print_top_ops  # noqa: E402
 
 
 def main() -> None:
@@ -58,28 +59,7 @@ def main() -> None:
     with jax.profiler.trace(args.out):
         float(jnp.sum(run(params, images, labels, jax.random.key(1))))
 
-    paths = sorted(glob.glob(os.path.join(args.out, "plugins", "profile",
-                                          "*", "*.trace.json.gz")))
-    if not paths:
-        print(f"trace written to {args.out} (no trace.json.gz found to parse)")
-        return
-    with gzip.open(paths[-1]) as f:
-        data = json.load(f)
-    names = {e["pid"]: e["args"]["name"] for e in data.get("traceEvents", [])
-             if e.get("ph") == "M" and e.get("name") == "process_name"}
-    agg: dict = collections.defaultdict(float)
-    cnt: collections.Counter = collections.Counter()
-    total = 0.0
-    for e in data.get("traceEvents", []):
-        if e.get("ph") != "X" or "TPU" not in str(names.get(e.get("pid"))):
-            continue
-        agg[e["name"]] += e.get("dur", 0)
-        cnt[e["name"]] += 1
-        total += e.get("dur", 0)
-    print(f"trace: {paths[-1]}")
-    print(f"{'total ms':>10}  {'count':>6}  op")
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"{dur / 1000:10.2f}  {cnt[name]:6d}  {name[:80]}")
+    print_top_ops(args.out, args.top)
 
 
 if __name__ == "__main__":
