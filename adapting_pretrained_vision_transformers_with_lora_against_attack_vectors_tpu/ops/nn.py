@@ -59,9 +59,32 @@ def dense(p: Params, x: jax.Array, *, compute_dtype=None, accum_dtype=jnp.float3
             # PEFT lora_dropout: inverted dropout on the adapter-branch input
             # only (the frozen W path sees undropped x). Keys/rates are leaves
             # inserted by ops.lora.attach(dropout_rng=...), training form only.
+            #
+            # Masks come from the backend's native counter-based generator
+            # (lax.rng_bit_generator — the hardware RNG on TPU), not
+            # jax.random.bernoulli: threefry mask generation was measured at
+            # ~30 of 86 ms per ViT-B LoRA train step (48 masks over
+            # (B,197,768), each regenerated in the backward), inverting the
+            # LoRA-vs-full-finetune throughput ordering. Hardware bits cut
+            # that to ~4 ms (722.8 -> 1001.7 imgs/s, PERF.md "LoRA dropout
+            # masks"). Each target's stream is seeded from its own threefry
+            # key leaf, so masks stay independent across targets and
+            # deterministic per (seed, step) on a given backend; the keep
+            # probability is quantized to a multiple of 2^-16 (|error| <=
+            # 7.7e-6) and the inverted scale divides by the QUANTIZED keep,
+            # so E[xb] == x exactly. Unlike threefry, bit streams are not
+            # guaranteed identical across backends/XLA versions — a non-issue
+            # for dropout regularization.
             keep = 1.0 - p["lora_p"]
-            mask = jax.random.bernoulli(p["lora_rng"], keep, x.shape)
-            xb = x * (mask / keep).astype(x.dtype)
+            kd = jax.random.key_data(p["lora_rng"]).astype(jnp.uint32)
+            kd = kd.reshape(-1)
+            state = jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)])
+            bits = jax.lax.rng_bit_generator(state, x.shape,
+                                             dtype=jnp.uint32)[1]
+            thresh = jnp.round(keep * 65536.0).astype(jnp.uint32)
+            keep_q = thresh.astype(jnp.float32) * (1.0 / 65536.0)
+            mask = (bits >> jnp.uint32(16)) < thresh
+            xb = x * (mask / keep_q).astype(x.dtype)
         xa = jnp.dot(xb.astype(cd), a, preferred_element_type=accum_dtype)
         y = y + p["lora_s"].astype(accum_dtype) * jnp.dot(
             xa.astype(cd), b, preferred_element_type=accum_dtype
