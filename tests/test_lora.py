@@ -155,3 +155,45 @@ def test_detach_strips_dropout_leaves(rng):
     attached = lora.attach(params, ad, lcfg, dropout_rng=jax.random.key(0))
     restored = lora.detach(attached)
     assert jax.tree.structure(restored) == jax.tree.structure(params)
+
+
+def test_lora_dropout_mask_statistics(rng):
+    """The hardware-RNG dropout path (ops/nn.py dense: lax.rng_bit_generator
+    masks, PERF.md 'LoRA dropout masks') keeps the semantics the threefry
+    path had: per-key determinism, ~keep-rate drop statistics, an exactly
+    unbiased inverted scale (surviving entries are x/keep_q), and
+    independent streams across targets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import nn
+
+    keep = 0.9
+    x = jnp.ones((64, 197, 768), jnp.float32)
+    a = jnp.eye(768, dtype=jnp.float32)[:, :768]  # identity A exposes xb
+    p = {
+        "w": jnp.zeros((768, 768), jnp.float32),
+        "lora_a": a,
+        "lora_b": jnp.eye(768, dtype=jnp.float32),
+        "lora_s": jnp.float32(1.0),
+        "lora_rng": jax.random.key(7),
+        "lora_p": jnp.float32(1.0 - keep),
+    }
+    y1 = jax.jit(nn.dense)(p, x)
+    y2 = jax.jit(nn.dense)(p, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))  # per-key deterministic
+
+    vals = np.unique(np.round(np.asarray(y1), 5))
+    keep_q = round(keep * 65536) / 65536
+    # inverted dropout on ones: exactly {0, 1/keep_q}
+    np.testing.assert_allclose(vals, [0.0, 1.0 / keep_q], atol=1e-5)
+    drop_rate = float((np.asarray(y1) == 0.0).mean())
+    assert abs(drop_rate - (1.0 - keep_q)) < 3e-3  # ~9.7M draws, generous CI
+    # unbiased: E[xb] == x
+    assert abs(float(y1.mean()) - 1.0) < 3e-3
+
+    # a different target key gives an independent (different) mask
+    p2 = dict(p, lora_rng=jax.random.key(8))
+    y3 = jax.jit(nn.dense)(p2, x)
+    assert float(jnp.abs(y3 - y1).max()) > 0.0
