@@ -41,6 +41,35 @@ def test_warp_matches_map_coordinates_reference():
                                atol=2e-6, rtol=1e-5)
 
 
+def test_banded_warp_matches_full_contraction():
+    """The band-limited row contraction (static window sized from the
+    rotation bound) must be exactly equivalent to contracting over every
+    source row: all weights outside the window are exact zeros, so the
+    outputs are bit-identical — including affines that push the sample
+    window against (and past) the image boundary, where the window start
+    clamps."""
+    size = 112  # 28 | 112, so the banded path engages (w=40 < s)
+    n = 6
+    images = jax.random.uniform(jax.random.key(5), (n, size, size, 3))
+    affine = list(augment._sample_affine(jax.random.key(6), n, size,
+                                         augment.DEFAULT))
+    # Push two images' sample windows off the image: one far above, one
+    # straddling the bottom edge (translation beyond the source extent).
+    t_y = np.array(affine[5])
+    t_y[0] = -1.5 * size
+    t_y[1] = size - 3.0
+    affine[5] = jnp.asarray(t_y)
+    affine = tuple(affine)
+
+    banded = jax.vmap(lambda im, af: augment._warp_one(im, af, 15.0))(
+        images, affine)
+    full = jax.vmap(lambda im, af: augment._warp_one(im, af, 90.0))(
+        images, affine)
+    np.testing.assert_array_equal(np.asarray(banded), np.asarray(full))
+    # sanity: the boundary-straddling image really does fill with zeros
+    assert float(jnp.abs(banded[0]).sum()) == 0.0
+
+
 def test_augment_shapes_and_range():
     x = _imgs()
     out = augment.train_augment(x, jax.random.key(1))
