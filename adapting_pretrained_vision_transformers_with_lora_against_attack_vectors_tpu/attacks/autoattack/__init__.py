@@ -112,6 +112,7 @@ def make_autoattack(
     # rows — the dominant cost of the suite (ROBUSTNESS.md: 1292 s).
     def run(params, images, labels, rng):
         import numpy as np
+        import time
 
         if images.dtype == jnp.uint8:
             images = to_floats(images)
@@ -131,14 +132,24 @@ def make_autoattack(
             jidx = jnp.asarray(idx)
             x_sub = jnp.asarray(images)[jidx]
             y_sub = jnp.asarray(labels)[jidx]
+            t0 = time.perf_counter()
             x_k = attack(params, x_sub, y_sub, jax.random.fold_in(rng, i))
             newly = misclassified(params, x_k, y_sub)
+            newly_h = np.asarray(newly)  # host fetch syncs the stage's work
+            run.stats.setdefault((name, bucket), []).append(
+                time.perf_counter() - t0)
             x_adv = jnp.asarray(x_adv).at[jidx].set(
                 jnp.where(newly[expand], x_k, jnp.asarray(x_adv)[jidx]),
                 mode="drop")
-            broken[idx[: remaining.size][np.asarray(newly)[: remaining.size]]] = True
+            broken[idx[: remaining.size][newly_h[: remaining.size]]] = True
         return x_adv
 
+    # Per-(stage, bucket) wall seconds, one entry per call; the first entry
+    # of each key is compile+run (every new bucket size is a fresh XLA
+    # program), the rest are warm. cli `autoattack` prints the summary so
+    # flagship stage wall-clock (ROBUSTNESS_r03 attack-autoattack) is
+    # attributed, not guessed.
+    run.stats = {}
     return run
 
 

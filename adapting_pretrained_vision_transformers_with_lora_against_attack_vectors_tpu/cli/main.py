@@ -294,6 +294,13 @@ def cmd_autoattack(args):
             suite, params, loader, out_dir=out_dir, clean_metadata=clean_meta,
             rng=jax.random.key(args.seed))
         print(f"autoattack {split}: {len(meta)} images -> {out_dir}")
+    # wall-clock attribution: first call per (stage, bucket) = compile+run
+    # (each bucket size is a fresh XLA program), the rest are warm
+    for (name, bucket), ts in sorted(suite.stats.items()):
+        warm = ts[1:]
+        warm_s = f"{sum(warm) / len(warm):8.2f}" if warm else "       —"
+        print(f"  {name:8s} bucket={bucket:<4d} calls={len(ts):<4d} "
+              f"first={ts[0]:8.2f}s warm_mean={warm_s}s")
 
 
 def cmd_patch_attack(args):
