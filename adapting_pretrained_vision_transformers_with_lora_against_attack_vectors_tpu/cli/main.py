@@ -770,6 +770,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from ..utils import compile_cache
+
+    compile_cache.enable()
     args.fn(args)
     return 0
 

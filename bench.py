@@ -102,6 +102,9 @@ def measure() -> None:
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora, quant
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import compile_cache
+
+    compile_cache.enable()
 
     reference_imgs_per_sec = 55.0  # estimated PyTorch-GPU PGD-10 baseline
     pgd10_tflops_per_img = 0.86  # analytic fwd + input-only bwd, see docstring

@@ -16,6 +16,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache (gitignored <repo>/.jax_cache): the suite is
+# compile-dominated on this one-core host; entries survive across runs and
+# rounds. APVT_COMPILE_CACHE=0 disables.
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

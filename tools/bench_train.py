@@ -58,6 +58,9 @@ def build_step(mode: str, batch: int, augment: bool,
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train import optim
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import compile_cache
+
+    compile_cache.enable()
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.train.steps import (
         TrainState, make_train_step)
 

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 
 from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
 from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
+from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 DEFAULT_MODELS = ["google_vit", "dinov1", "swin", "convnext", "yolo11-cls"]
 
