@@ -58,7 +58,7 @@ def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
                            "rc": "timeout", "attempt": attempt})
             continue
         dt = time.perf_counter() - t0
-        tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-6:])
+        tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-14:])
         print(f"=== {name}: rc={proc.returncode} {dt:.0f}s\n{tail}", flush=True)
         stages.append({"stage": name, "seconds": round(dt, 1),
                        "rc": proc.returncode,
