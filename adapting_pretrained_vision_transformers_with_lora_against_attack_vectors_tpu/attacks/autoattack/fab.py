@@ -166,8 +166,14 @@ def make_fab_targeted(
                 # hyperplane through the linearization: w·z = w·x - f
                 w = g
                 off = jnp.sum(w * x, axis=-1) - f
-                d_cur = projection_linf(x, w, off)
-                d_orig = projection_linf(x0, w, off)
+                # both projections target the same hyperplane — stack them so
+                # the bisection's 30 reduction passes run once over 2B rows
+                # instead of twice over B (the passes are latency-bound at
+                # survivor-bucket batch sizes)
+                d2 = projection_linf(jnp.concatenate([x, x0]),
+                                     jnp.concatenate([w, w]),
+                                     jnp.concatenate([off, off]))
+                d_cur, d_orig = d2[:b], d2[b:]
                 n_cur = jnp.max(jnp.abs(d_cur), axis=-1)
                 n_orig = jnp.max(jnp.abs(d_orig), axis=-1)
                 alpha = jnp.clip(n_cur / jnp.maximum(n_cur + n_orig, 1e-12),
