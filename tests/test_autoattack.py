@@ -274,3 +274,27 @@ def test_suite_stage_selection(toy_model):
         aa.make_autoattack(entry.apply, cfg,
                            aa.AutoAttackConfig(attacks=("bogus",)),
                            normalize=IDENT)
+
+
+def test_suite_stats_attribution(toy_model):
+    """The runner records per-(stage, bucket) wall times — one entry per
+    call, keyed by the compiled program variant (cli `autoattack` prints
+    first-call compile+run vs warm means from this)."""
+    entry, cfg, params, x, y = toy_model
+    suite = aa.make_autoattack(
+        entry.apply, cfg,
+        aa.AutoAttackConfig(eps=EPS, n_iter=4, n_target_classes=2,
+                            square_queries=16),
+        normalize=IDENT)
+    assert suite.stats == {}
+    suite(params, x, y, jax.random.key(0))
+    suite(params, x, y, jax.random.key(1))
+    assert suite.stats, "at least one stage must have run"
+    for (name, bucket), ts in suite.stats.items():
+        assert name in ("apgd-ce", "apgd-t", "fab-t", "square")
+        assert bucket >= 8 and bucket & (bucket - 1) == 0 or bucket == x.shape[0]
+        assert all(t > 0 for t in ts)
+    # the first stage ran in both calls at the same bucket (same clean
+    # misclassification pattern) -> its key accumulated two entries
+    first_key = next(k for k in suite.stats if k[0] == "apgd-ce")
+    assert len(suite.stats[first_key]) == 2
