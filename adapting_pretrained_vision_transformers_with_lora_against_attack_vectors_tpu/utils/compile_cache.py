@@ -29,11 +29,21 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 def enable(path: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at ``path`` (idempotent).
 
-    Returns the directory in use, or None when disabled via
-    ``APVT_COMPILE_CACHE=0``.
+    Returns the directory in use, or None when disabled — via
+    ``APVT_COMPILE_CACHE=0``, or automatically on a **forced multi-device
+    host topology** (``--xla_force_host_platform_device_count`` in
+    ``XLA_FLAGS``: the virtual CPU mesh used by tests and
+    ``dryrun_multichip``). Deserialized sharded executables abort the CPU
+    backend there (reproduced deterministically: a cold-cache
+    ``tests/test_mesh.py`` run passes and writes entries, the warm rerun
+    SIGABRTs inside the first sharded train-step execution), so that
+    topology always compiles fresh. Single-device CPU and the TPU backend —
+    where the wall-clock win lives — keep the cache.
     """
     env = os.environ.get("APVT_COMPILE_CACHE")
     if env == "0":
+        return None
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
         return None
     path = env or path or _DEFAULT
 
