@@ -370,3 +370,107 @@ def test_find_lora_adapters_both_layouts(tmp_path, capsys):
     assert compose.find_lora_adapters(str(flat), ["patch"], 4,
                                       log=missing_msgs.append) == {}
     assert any("no 'patch' adapter" in m for m in missing_msgs)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-dynamics parity — the remaining silently-divergable piece of the
+# ±0.5% accuracy-parity protocol (PARITY.md). Forward parity is pinned above;
+# these pin the UPDATE RULE: optax.adamw + our StepLR schedule must reproduce
+# torch.optim.AdamW + torch StepLR (reference train.py:203-204) step for step,
+# and optim.lora_adam must reproduce torch.optim.Adam (train_loras.py:284).
+# A wrong eps placement, non-decoupled weight decay, or off-by-one schedule
+# epoch would pass every forward test yet change final accuracy.
+# ---------------------------------------------------------------------------
+
+_DYN = dict(d=16, h=32, c=5, b=8, steps_per_epoch=5, epochs=4)
+
+
+def _dyn_fixture():
+    """Tiny MLP (exact-erf GELU, same as torch's default) + batches shared by
+    both frameworks. Returns (torch_model, jax_params, batches)."""
+    torch.manual_seed(3)
+    model = torch.nn.Sequential(
+        torch.nn.Linear(_DYN["d"], _DYN["h"]),
+        torch.nn.GELU(),  # exact erf — matches jax.nn.gelu(approximate=False)
+        torch.nn.Linear(_DYN["h"], _DYN["c"]),
+    )
+    params = {
+        "w1": jnp.asarray(model[0].weight.detach().numpy().T),
+        "b1": jnp.asarray(model[0].bias.detach().numpy()),
+        "w2": jnp.asarray(model[2].weight.detach().numpy().T),
+        "b2": jnp.asarray(model[2].bias.detach().numpy()),
+    }
+    rng = np.random.default_rng(11)
+    n_steps = _DYN["steps_per_epoch"] * _DYN["epochs"]
+    batches = [
+        (rng.standard_normal((_DYN["b"], _DYN["d"])).astype(np.float32),
+         rng.integers(0, _DYN["c"], (_DYN["b"],)).astype(np.int64))
+        for _ in range(n_steps)
+    ]
+    return model, params, batches
+
+
+def _jax_loss(params, x, y):
+    import optax
+
+    h = jax.nn.gelu(x @ params["w1"] + params["b1"], approximate=False)
+    logits = h @ params["w2"] + params["b2"]
+    return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+
+def _run_dynamics(tx, torch_opt_fn, torch_sched_fn=None):
+    model, params, batches = _dyn_fixture()
+    opt = torch_opt_fn(model.parameters())
+    sched = torch_sched_fn(opt) if torch_sched_fn is not None else None
+    ce = torch.nn.CrossEntropyLoss()
+
+    opt_state = tx.init(params)
+    grad_fn = jax.jit(jax.value_and_grad(_jax_loss))
+
+    import optax
+
+    losses_j, losses_t = [], []
+    for i, (x, y) in enumerate(batches):
+        loss_j, grads = grad_fn(params, jnp.asarray(x), jnp.asarray(y))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(loss_j))
+
+        opt.zero_grad()
+        loss_t = ce(model(torch.from_numpy(x)), torch.from_numpy(y))
+        loss_t.backward()
+        opt.step()
+        losses_t.append(float(loss_t.detach()))
+        if sched is not None and (i + 1) % _DYN["steps_per_epoch"] == 0:
+            sched.step()  # per-epoch, like the reference train loop
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-5, atol=1e-6)
+    final_t = {
+        "w1": model[0].weight.detach().numpy().T,
+        "b1": model[0].bias.detach().numpy(),
+        "w2": model[2].weight.detach().numpy().T,
+        "b2": model[2].bias.detach().numpy(),
+    }
+    for k in final_t:
+        np.testing.assert_allclose(np.asarray(params[k]), final_t[k],
+                                   rtol=5e-4, atol=2e-6, err_msg=k)
+
+
+def test_adamw_steplr_dynamics_match_torch():
+    """AdamW(lr=1e-2, wd=1e-2) + StepLR(step=2, gamma=0.1) — crosses one
+    decay boundary so the count→epoch mapping in steplr_schedule is pinned
+    against torch's scheduler.step()-at-epoch-end convention."""
+    _run_dynamics(
+        optim.adamw_steplr(1e-2, weight_decay=1e-2, step_size_epochs=2,
+                           gamma=0.1, steps_per_epoch=_DYN["steps_per_epoch"]),
+        lambda ps: torch.optim.AdamW(ps, lr=1e-2, weight_decay=1e-2),
+        lambda opt: torch.optim.lr_scheduler.StepLR(opt, step_size=2, gamma=0.1),
+    )
+
+
+def test_lora_adam_dynamics_match_torch():
+    """optim.lora_adam vs torch.optim.Adam (reference train_loras.py:284)."""
+    _run_dynamics(
+        optim.lora_adam(1e-2),
+        lambda ps: torch.optim.Adam(ps, lr=1e-2),
+    )
