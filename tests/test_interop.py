@@ -474,3 +474,58 @@ def test_lora_adam_dynamics_match_torch():
         optim.lora_adam(1e-2),
         lambda ps: torch.optim.Adam(ps, lr=1e-2),
     )
+
+
+def test_vit_train_dynamics_match_torch(hf_model):
+    """Full-stack training parity on the real ViT graph: weight GRADIENTS
+    through patch-embed/attention/LN/MLP (not pinned by the forward or
+    FGSM/PGD input-gradient goldens above) + AdamW, vs torch fine-tuning the
+    same HF model from the same init with the reference recipe
+    (train.py:203-204, lr=1e-4 wd=1e-4). Per-step losses and post-training
+    logits must track to float32 noise."""
+    import copy
+
+    import optax
+
+    model = copy.deepcopy(hf_model)
+    model.train()  # dropout probs are 0.0 in ViTConfig defaults: deterministic
+    params = hf_import.vit_params_from_hf(model.state_dict(), OUR_CFG)
+
+    rng = np.random.default_rng(7)
+    batches = [
+        (rng.random((4, 32, 32, 3), np.float32),
+         rng.integers(0, 5, (4,)).astype(np.int64))
+        for _ in range(5)
+    ]
+    probe = rng.random((4, 32, 32, 3), np.float32)
+
+    opt_t = torch.optim.AdamW(model.parameters(), lr=1e-4, weight_decay=1e-4)
+    ce = torch.nn.CrossEntropyLoss()
+
+    tx = optim.adamw_steplr(1e-4, weight_decay=1e-4, steps_per_epoch=1)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, x, y):
+        logits = vit.apply(OUR_CFG, p, x)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    for x, y in batches:
+        loss_j, grads = grad_fn(params, jnp.asarray(x), jnp.asarray(y))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        opt_t.zero_grad()
+        loss_t = ce(model(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits,
+                    torch.from_numpy(y))
+        loss_t.backward()
+        opt_t.step()
+        np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                                   rtol=2e-4, atol=1e-5)
+
+    model.eval()
+    with torch.no_grad():
+        ref = model(torch.from_numpy(probe.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = np.asarray(vit.apply(OUR_CFG, params, jnp.asarray(probe)))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=2e-3)
