@@ -8,6 +8,11 @@ residual-save dynamic-update-slices costing 26% of runtime in round 1's
 configuration).
 
 Usage: python tools/profile_pgd.py [--out /tmp/jax-trace] [--scan] [--batch 64]
+                                   [--backbone google_vit|swin|convnext|...]
+
+``--backbone`` profiles any zoo member under the same PGD program and flag
+set as ``tools/bench_zoo.py`` (unroll_layers on; fused attention where the
+config supports it) — round-3 use: attribute ConvNeXt-B's ~15% MFU.
 """
 
 from __future__ import annotations
@@ -31,29 +36,38 @@ def main() -> None:
     ap.add_argument("--scan", action="store_true",
                     help="profile the lax.scan encoder instead of unrolled")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--backbone", default="google_vit",
+                    help="zoo registry name (same flag set as bench_zoo)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.attacks import whitebox
-    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import vit
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import registry
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import compile_cache
 
-    cfg = dataclasses.replace(vit.VIT_B16.with_classes(21),
-                              use_fused_attention=True,
-                              unroll_layers=not args.scan)
+    compile_cache.enable()
+
+    entry = registry.get_model(args.backbone)
+    cfg = entry.config(21)
+    for flag, val in (("unroll_layers", not args.scan),
+                      ("use_fused_attention", True)):
+        if hasattr(cfg, flag):
+            cfg = dataclasses.replace(cfg, **{flag: val})
 
     @jax.jit
     def build(rng):
         return jax.tree.map(lambda a: a.astype(jnp.bfloat16),
-                            vit.init(rng, cfg))
+                            entry.init(rng, cfg))
 
     params = build(jax.random.key(0))
+    size = cfg.image_size
     images = jax.device_put(jax.random.uniform(
-        jax.random.key(2), (args.batch, 224, 224, 3), jnp.float32))
+        jax.random.key(2), (args.batch, size, size, 3), jnp.float32))
     labels = jax.device_put(jax.random.randint(
         jax.random.key(3), (args.batch,), 0, cfg.num_classes))
-    run = whitebox.make_pgd(vit.apply, cfg, eps=8 / 255, alpha=3 / 255,
+    run = whitebox.make_pgd(entry.apply, cfg, eps=8 / 255, alpha=3 / 255,
                             steps=args.steps)
     float(jnp.sum(run(params, images, labels, jax.random.key(0))))  # compile
 
