@@ -45,6 +45,11 @@ class ConvNeXtConfig:
     # (dim 1024, 16.8 MB of weights) exceeds the VMEM budget and falls back
     # per the fits_vmem_ln check. Default off — unmeasured on hardware.
     fuse_ln_mlp: bool = False
+    # Pallas depthwise 7x7 (kernels/dwconv.py): the round-3 trace attributes
+    # 27.7% of ConvNeXt PGD wall to XLA's depthwise lowering (~3.4 TF/s on
+    # pure VPU work); the kernel unrolls the 49 taps as f32 shifted FMAs
+    # over a VMEM-resident image. TPU + half-precision only.
+    use_dw_kernel: bool = False
 
     def with_classes(self, num_classes: int) -> "ConvNeXtConfig":
         return dataclasses.replace(self, num_classes=num_classes)
@@ -114,7 +119,22 @@ def _conv(x: jax.Array, w: jax.Array, b, *, stride: int, groups: int = 1,
 
 def _block(cfg: ConvNeXtConfig, bp: dict, x: jax.Array) -> jax.Array:
     dim = x.shape[-1]
+    if (cfg.use_dw_kernel and jnp.dtype(x.dtype).itemsize == 2
+            and jax.default_backend() == "tpu"):
+        from ..kernels import dwconv
+
+        if dwconv.fits_vmem(x.shape[1], x.shape[2], dim, x.dtype):
+            h = dwconv.dwconv7(x, bp["dwconv"]["w"].reshape(7, 7, dim))
+            h = (h.astype(jnp.float32)
+                 + bp["dwconv"]["b"].astype(jnp.float32)).astype(x.dtype)
+            return _block_tail(cfg, bp, x, h)
     h = _conv(x, bp["dwconv"]["w"], bp["dwconv"]["b"], stride=1, groups=dim)
+    return _block_tail(cfg, bp, x, h)
+
+
+def _block_tail(cfg: ConvNeXtConfig, bp: dict, x: jax.Array,
+                h: jax.Array) -> jax.Array:
+    dim = x.shape[-1]
     cd = x.dtype
     if (cfg.fuse_ln_mlp and jnp.dtype(cd).itemsize == 2 and all(
             "lora_a" not in bp[k] and "w_q" not in bp[k]

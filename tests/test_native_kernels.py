@@ -785,3 +785,79 @@ def test_fused_attn_block_interpret_parity_bf16():
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(g_ref, np.float32),
                                    atol=5e-2, rtol=5e-2)
+
+
+# --- Pallas depthwise 7x7 (interpret mode) -----------------------------------
+
+def _dw_args(key, b=2, h=10, w=9, c=8, dtype=jnp.float32):
+    x = jax.random.normal(jax.random.fold_in(key, 0), (b, h, w, c), dtype)
+    wt = jax.random.normal(jax.random.fold_in(key, 1), (7, 7, c), dtype)
+    return x, wt
+
+
+def test_dwconv7_interpret_parity_f32():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import dwconv
+
+    x, wt = _dw_args(jax.random.key(0))
+    with pltpu.force_tpu_interpret_mode():
+        o = dwconv.dwconv7(x, wt)
+        ref = dwconv._ref(x, wt)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+        # Full VJP: dx through the flipped-filter kernel, dw through the XLA
+        # conv-grad recompute — both must match grads of the XLA composition.
+        loss = lambda f: lambda x, w: jnp.sum(f(x, w) ** 2)
+        g = jax.grad(loss(dwconv.dwconv7), argnums=(0, 1))(x, wt)
+        g_ref = jax.grad(loss(dwconv._ref), argnums=(0, 1))(x, wt)
+        for got, want in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=5e-5, rtol=1e-4)
+
+
+def test_dwconv7_interpret_parity_bf16():
+    """bf16 storage (the dispatch dtype): f32 accumulation inside."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.kernels import dwconv
+
+    x, wt = _dw_args(jax.random.key(1), dtype=jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        o = dwconv.dwconv7(x, wt)
+        ref = dwconv._ref(x, wt)
+        assert o.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(o, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
+        loss = lambda f: lambda x: jnp.sum(f(x, wt).astype(jnp.float32) ** 2)
+        g = jax.grad(loss(dwconv.dwconv7))(x)  # dx: the attack path
+        g_ref = jax.grad(loss(dwconv._ref))(x)
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(g_ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_dwconv7_model_flag_interpret():
+    """ConvNeXt block output is unchanged when use_dw_kernel engages."""
+    import dataclasses
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.models import convnext
+
+    cfg = dataclasses.replace(convnext.CONVNEXT_TEST,
+                              compute_dtype="bfloat16")
+    params = convnext.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1),
+                           (2, cfg.image_size, cfg.image_size, 3))
+    base = convnext.apply(cfg, params, x)
+    on = dataclasses.replace(cfg, use_dw_kernel=True)
+    with pltpu.force_tpu_interpret_mode(), \
+            mock.patch.object(jax, "default_backend", return_value="tpu"):
+        fused = convnext.apply(on, params, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               atol=3e-2, rtol=3e-2)
