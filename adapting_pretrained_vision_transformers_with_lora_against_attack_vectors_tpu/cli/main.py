@@ -106,7 +106,7 @@ def cmd_synth_data(args):
 
     synthetic.make_synthetic_dataset(
         args.output_dir, n_per_class=args.n_per_class,
-        image_size=args.image_size)
+        image_size=args.image_size, style=args.style)
     print(f"synthetic dataset written to {args.output_dir}")
 
 
@@ -404,10 +404,8 @@ def cmd_rp2_attack(args):
     loaders = _loaders_for(args, vocab, args.splits,
                            batch_size=args.batch_size,
                            image_size=cfg.image_size, shuffle_train=False)
-    for split in args.splits:
-        loader = loaders[split]
-        if loader is None:
-            continue
+
+    def collect_sample(loader):
         # bounded collection: only the first patch_sample_size samples feed
         # patch training — accumulating the whole split in host RAM as f32
         # would be ~GBs on a real corpus
@@ -420,11 +418,15 @@ def cmd_rp2_attack(args):
             if n >= args.patch_sample_size:
                 break
         if not xs:
-            print(f"skip {split}: no samples after filtering")
-            continue
-        images = np.concatenate(xs)[: args.patch_sample_size]
-        labels = np.concatenate(ys)[: args.patch_sample_size]
+            return None, None
+        return (np.concatenate(xs)[: args.patch_sample_size],
+                np.concatenate(ys)[: args.patch_sample_size])
 
+    def train_patches(split, loader):
+        images, labels = collect_sample(loader)
+        if images is None:
+            print(f"rp2 {split}: no samples after filtering")
+            return None
         patches = rp2.train_rp2_patches(
             entry.apply, cfg, params, images, labels, cfg=pcfg,
             normalize=normalize, rng=rng)
@@ -435,12 +437,36 @@ def cmd_rp2_attack(args):
                                             in enumerate(vocab.classes)})
         if not patches:
             print(f"rp2 {split}: no class had enough samples")
-            continue
-
-        apply_fn = rp2.make_sign_constrained_apply(pcfg)
-        patch_arr = np.stack([patches.get(c, np.full(
+            return None
+        return np.stack([patches.get(c, np.full(
             (pcfg.patch_size, pcfg.patch_size, 3), 0.5, np.float32))
             for c in range(len(vocab))])
+
+    # --patch_train_split: physical-attack semantics — the attacker prints
+    # ONE sticker per class (trained on the named split) and applies it
+    # everywhere; divergence from the reference's wasteful per-split
+    # retraining (rp2_attack.py:94-160 re-runs the 500-iter loop per split)
+    shared_patch_arr = None
+    if args.patch_train_split:
+        tl = loaders.get(args.patch_train_split) or _loaders_for(
+            args, vocab, (args.patch_train_split,),
+            batch_size=args.batch_size, image_size=cfg.image_size,
+            shuffle_train=False)[args.patch_train_split]
+        shared_patch_arr = train_patches(args.patch_train_split, tl)
+        if shared_patch_arr is None:
+            return
+
+    for split in args.splits:
+        loader = loaders[split]
+        if loader is None:
+            continue
+        if shared_patch_arr is not None:
+            patch_arr = shared_patch_arr
+        else:
+            patch_arr = train_patches(split, loader)
+            if patch_arr is None:
+                continue
+        apply_fn = rp2.make_sign_constrained_apply(pcfg)
 
         def attack(p, im, lb, r, _pa=jax.device_put(patch_arr)):
             # per-example patch of its own class (physical per-sign sticker)
@@ -613,6 +639,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output_dir", required=True)
     sp.add_argument("--n_per_class", type=int, default=8)
     sp.add_argument("--image_size", type=int, default=64)
+    sp.add_argument("--style", default="default", choices=["default", "hard"],
+                    help="'hard' = 12 glyph-coded confusable classes "
+                         "(non-robust fine features, for robustness runs)")
     sp.set_defaults(fn=cmd_synth_data)
 
     def model_args(sp, *, ckpt=False):
@@ -730,6 +759,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--patch_sample_size", type=int, default=500)
     sp.add_argument("--learning_rate", type=float, default=0.1)
     sp.add_argument("--max_iter", type=int, default=500)
+    sp.add_argument("--patch_train_split", default="",
+                    help="train per-class patches ONCE on this split and "
+                         "apply to every --splits entry (physical-sticker "
+                         "semantics); empty = per-split retraining like the "
+                         "reference")
     sp.set_defaults(fn=cmd_rp2_attack)
 
     sp = sub.add_parser("train-lora", help="per-attack LoRA defense")

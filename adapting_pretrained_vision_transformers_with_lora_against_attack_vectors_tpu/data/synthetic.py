@@ -22,6 +22,71 @@ from .io import save_metadata
 
 DEFAULT_CLASSES = ("no_entry", "speed_limit", "stop", "warning", "yield")
 
+# "hard" style: classes share shape AND color within each group and differ
+# only in a small inner glyph (bar count), like real speed-limit signs that
+# differ only in the printed digits (GTSRB's limit_20/30/50/70...). The
+# default style's classes are separable by dominant color alone, which makes
+# a fine-tuned ViT-B trivially robust to Linf attacks (every cell of the r3
+# flagship matrix saturated at 1.0); glyph-coded classes keep clean accuracy
+# learnable while restoring the non-robust fine-feature margins the
+# reference's real corpus has, so attacks at the reference-exact eps=8/255
+# (whitebox_attacks.py:59-61) actually discriminate defended variants.
+HARD_CLASSES = (
+    "speed_limit_20", "speed_limit_30", "speed_limit_50", "speed_limit_70",
+    "info_parking", "info_crossing", "info_hospital", "info_bus",
+    "warn_curve", "warn_bump", "warn_ice", "warn_animals",
+)
+
+
+def _render_hard(cls_idx: int, rng: np.random.Generator, size: int) -> np.ndarray:
+    """Sign with a group shape/border-color and a (1 + cls%4)-bar inner glyph.
+
+    Group g = (cls//4)%3 selects circle/square/triangle; within a group the
+    only class-discriminative feature is the thin dark bar pattern."""
+    group, code = (cls_idx // 4) % 3, cls_idx % 4
+    img = rng.integers(0, 70, (size, size, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    c = size / 2.0
+    r = size * (0.30 + 0.06 * rng.random())
+    cx = c + rng.uniform(-0.02, 0.02) * size
+    cy = c + rng.uniform(-0.02, 0.02) * size
+
+    if group == 0:  # red-ring circle (speed-limit family)
+        outer = (xx - cx) ** 2 + (yy - cy) ** 2 < r ** 2
+        inner = (xx - cx) ** 2 + (yy - cy) ** 2 < (0.80 * r) ** 2
+        border = (200, 30, 30)
+    elif group == 1:  # blue square (info family)
+        outer = (np.abs(xx - cx) < r) & (np.abs(yy - cy) < r)
+        inner = (np.abs(xx - cx) < 0.80 * r) & (np.abs(yy - cy) < 0.80 * r)
+        border = (30, 60, 200)
+    else:  # red-bordered triangle (warning family), apex up
+
+        def tri(rr):
+            return (yy - cy > -rr) & (np.abs(xx - cx) < (yy - cy + rr) / 2)
+
+        outer, inner = tri(r), tri(0.78 * r)
+        border = (200, 30, 30)
+
+    img[outer] = np.asarray(border, np.uint8)
+    img[inner] = int(rng.integers(195, 231))  # near-white interior
+
+    # glyph: (code+1) thin vertical bars, centered on the sign interior
+    n = code + 1
+    bw = max(2, round(size * 0.030))
+    gap = max(2, round(size * 0.030))
+    span = n * bw + (n - 1) * gap
+    gy = cy + (0.22 * r if group == 2 else 0.0)  # triangle mass sits lower
+    gh = 0.55 * r
+    x0 = cx - span / 2.0
+    glyph = np.zeros((size, size), bool)
+    for i in range(n):
+        xs = x0 + i * (bw + gap)
+        glyph |= (xx >= xs) & (xx < xs + bw) & (np.abs(yy - gy) < gh / 2)
+    img[glyph & inner] = int(rng.integers(25, 56))
+
+    noise = rng.integers(0, 18, (size, size, 3), dtype=np.uint8)
+    return np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
 
 def _render(cls_idx: int, rng: np.random.Generator, size: int) -> np.ndarray:
     """Class-dependent geometric figure + noise; classes are separable but
@@ -47,11 +112,18 @@ def _render(cls_idx: int, rng: np.random.Generator, size: int) -> np.ndarray:
     return np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
 
 
-def make_synthetic_dataset(root: str, *, classes=DEFAULT_CLASSES,
+def make_synthetic_dataset(root: str, *, classes=None,
                            n_per_class: dict | int = 8, image_size: int = 32,
                            splits=("train", "val", "test"), source: str = "synthetic",
-                           seed: int = 0) -> dict[str, pd.DataFrame]:
-    """Write the dataset under ``root``; returns per-split metadata frames."""
+                           seed: int = 0, style: str = "default") -> dict[str, pd.DataFrame]:
+    """Write the dataset under ``root``; returns per-split metadata frames.
+
+    ``style='default'`` renders 5 color+shape-separable classes (easy,
+    Linf-robust by construction); ``style='hard'`` renders 12 glyph-coded
+    confusable classes (see HARD_CLASSES) for robustness experiments."""
+    if classes is None:
+        classes = HARD_CLASSES if style == "hard" else DEFAULT_CLASSES
+    render = _render_hard if style == "hard" else _render
     if isinstance(n_per_class, int):
         n_per_class = {s: n_per_class for s in splits}
     out = {}
@@ -63,7 +135,7 @@ def make_synthetic_dataset(root: str, *, classes=DEFAULT_CLASSES,
         for ci, cls in enumerate(classes):
             for j in range(n_per_class[split]):
                 name = f"{cls}_{split}_{j:04d}.png"
-                Image.fromarray(_render(ci, rng, image_size)).save(
+                Image.fromarray(render(ci, rng, image_size)).save(
                     os.path.join(img_dir, name))
                 rows.append({"image_path": os.path.join("images", name),
                              "source": source, "original_class": cls,

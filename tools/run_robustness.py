@@ -70,17 +70,24 @@ def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="ROBUSTNESS_r03.json")
+    ap.add_argument("--out", default="ROBUSTNESS_r04.json")
     ap.add_argument("--workdir", default="/tmp/apvt_robustness")
     ap.add_argument("--model", default="google_vit")
+    ap.add_argument("--style", default="hard", choices=["default", "hard"],
+                    help="synthetic corpus style; 'hard' = 12 glyph-coded "
+                         "confusable classes so the matrix discriminates "
+                         "(the 'default' 5-class corpus saturates every "
+                         "cell at eps 8/255 — ROBUSTNESS_r03.json)")
     ap.add_argument("--n_per_class", type=int, default=24)
     ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--epsilon", type=float, default=24 / 255,
-                    help="whitebox/autoattack eps (flagship uses 24/255 — "
-                         "at the reference's 8/255 the fine-tuned ViT-B is "
-                         "already robust on this corpus, ROBUSTNESS.md)")
+    ap.add_argument("--epsilon", type=float, default=8 / 255,
+                    help="whitebox/autoattack eps (reference-exact 8/255, "
+                         "whitebox_attacks.py:59-61; the hard corpus keeps "
+                         "it discriminating)")
     ap.add_argument("--pgd_steps", type=int, default=30)
     ap.add_argument("--patch_iters", type=int, default=250)
+    ap.add_argument("--rp2_iters", type=int, default=250)
+    ap.add_argument("--rp2_patch_size", type=int, default=96)
     ap.add_argument("--aa_iters", type=int, default=50)
     ap.add_argument("--aa_queries", type=int, default=500)
     ap.add_argument("--lora_epochs", type=int, default=4)
@@ -99,7 +106,8 @@ def main() -> None:
     if args.quick:
         args.model, image_size = "vit_test", 32
         args.n_per_class, args.epochs, args.lora_epochs = 4, 1, 1
-        args.pgd_steps, args.patch_iters = 2, 3
+        args.pgd_steps, args.patch_iters, args.rp2_iters = 2, 3, 3
+        args.rp2_patch_size = 8
         args.aa_iters, args.aa_queries = 2, 10
     else:
         image_size = 224
@@ -113,7 +121,8 @@ def main() -> None:
 
     run_stage("synth-data", ["synth-data", "--output_dir", data,
                              "--n_per_class", str(args.n_per_class),
-                             "--image_size", str(image_size)], stages)
+                             "--image_size", str(image_size),
+                             "--style", args.style], stages)
     run_stage("train", ["train", "--data_root", data, "--model", args.model,
                         "--output_dir", os.path.join(d, "train"),
                         "--epochs", str(args.epochs), "--batch_size", "32"]
@@ -136,7 +145,16 @@ def main() -> None:
                                     "--n_iter", str(args.aa_iters),
                                     "--square_queries", str(args.aa_queries),
                                     "--batch_size", "64"], stages)
-    families = ["fgsm", "pgd", "patch_circle", "autoattack"]
+    # RP2 = fifth family (BASELINE.json config 5; reference rp2_attack.py
+    # intent). Patches train once on the train split (physical-sticker
+    # semantics) and apply to all three splits.
+    run_stage("attack-rp2", ["rp2-attack", *common,
+                             "--splits", "train", "val", "test",
+                             "--patch_train_split", "train",
+                             "--patch_size", str(args.rp2_patch_size),
+                             "--max_iter", str(args.rp2_iters),
+                             "--batch_size", "24"], stages)
+    families = ["fgsm", "pgd", "patch_circle", "autoattack", "rp2"]
     run_stage("train-lora", ["train-lora", "--data_root", data,
                              "--model", args.model, "--model_path", ck,
                              "--adv_root", adv, "--output_dir", loras,
@@ -155,9 +173,12 @@ def main() -> None:
 
     artifact = {
         "config": {"model": args.model, "image_size": image_size,
+                   "style": args.style,
                    "n_per_class": args.n_per_class, "epochs": args.epochs,
                    "epsilon": args.epsilon, "pgd_steps": args.pgd_steps,
                    "patch_iters": args.patch_iters,
+                   "rp2_iters": args.rp2_iters,
+                   "rp2_patch_size": args.rp2_patch_size,
                    "aa_iters": args.aa_iters,
                    "aa_queries": args.aa_queries,
                    "lora_epochs": args.lora_epochs,
