@@ -58,18 +58,73 @@ def _split_heads(qkv, heads):
             _head_major(qkv, heads, hd, 2 * c), hd)
 
 
-def _probs(qkv, bias_ref, mask_ref, *, heads, n_real, scale):
-    """All-heads batched probabilities: (heads*GW, Np, Np) f32 + q,k,v."""
+def _pack_rows(x, p):
+    """(I, Np, hd) -> (I/p, p*Np, hd): concatenate each group of ``p``
+    consecutive instances along the sublane (token) axis so the batched dots
+    see MXU-sized M/N. Static unrolled copies — Np=49 is not a sublane
+    multiple, so a plain reshape would need a relayout anyway; doing it as
+    explicit concats keeps the data movement visible and tiny."""
+    ii, np_, hd = x.shape
+    return jnp.concatenate(
+        [jnp.concatenate([x[g * p + j] for j in range(p)], axis=0)[None]
+         for g in range(ii // p)], axis=0)
+
+
+def _unpack_rows(x, p, np_):
+    """(I/p, p*Np, ...) -> (I, Np, ...) — inverse of _pack_rows."""
+    return jnp.concatenate(
+        [x[g, j * np_:(j + 1) * np_][None]
+         for g in range(x.shape[0]) for j in range(p)], axis=0)
+
+
+def _packed_addmask(bias, shift, *, heads, gw, p, n_real, np_):
+    """Block-diagonal additive mask (I/p, p*Np, p*Np): diagonal block j of
+    group g carries bias[head of instance g*p+j] + shift[window of it];
+    off-diagonal blocks are -1e30 so the row softmax never mixes windows.
+    Instance order is head-major (h*gw + w), matching _split_heads."""
+    neg = jnp.full((np_, np_), -1e30, jnp.float32)
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+    pad = jnp.where(key_ids < n_real, 0.0, -1e30)
+    groups = []
+    for g in range((heads * gw) // p):
+        rows = []
+        for j in range(p):
+            inst = g * p + j
+            h, w = inst // gw, inst % gw
+            diag = bias[h] + shift[w] + pad
+            rows.append(jnp.concatenate(
+                [diag if i == j else neg for i in range(p)], axis=-1))
+        groups.append(jnp.concatenate(rows, axis=-2)[None])
+    return jnp.concatenate(groups, axis=0)
+
+
+def _probs(qkv, bias_ref, mask_ref, *, heads, n_real, scale, pack=1):
+    """Batched probabilities + q,k,v (each (heads*GW, Np, hd)).
+
+    ``pack=1``: one batched-dot instance per (head, window) — (49, hd)
+    matmuls that underfill the MXU. ``pack=p``: groups of p instances are
+    concatenated along tokens and the scores become (p*49, p*49) with a
+    block-diagonal additive mask — p× raw FLOPs for much better systolic
+    utilization (PERF.md round-4 Swin packing experiment; distinct from the
+    round-3 measured-negative (49k, 32k) *operand* packing, which cost k²).
+    Probabilities return PACKED when pack>1; q/k/v return unpacked."""
     gw, np_, _ = qkv.shape
     q, k, v, hd = _split_heads(qkv, heads)
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32) * scale
     bias = bias_ref[...].astype(jnp.float32)  # (heads, Np, Np)
-    s = s + jnp.repeat(bias, gw, axis=0)
     shift = mask_ref[...].astype(jnp.float32)  # (GW, Np, Np)
-    s = s + jnp.tile(shift, (heads, 1, 1))
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
-    s = s + jnp.where(key_ids < n_real, 0.0, -1e30)
+    if pack > 1:
+        qp, kp = _pack_rows(q, pack), _pack_rows(k, pack)
+        s = jax.lax.dot_general(qp, kp, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + _packed_addmask(bias, shift, heads=heads, gw=gw, p=pack,
+                                n_real=n_real, np_=np_)
+    else:
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + jnp.repeat(bias, gw, axis=0)
+        s = s + jnp.tile(shift, (heads, 1, 1))
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
+        s = s + jnp.where(key_ids < n_real, 0.0, -1e30)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=-1, keepdims=True), q, k, v, hd
@@ -83,18 +138,26 @@ def _merge_heads(o, heads, gw, np_, hd):
 
 
 def _fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, heads: int,
-                n_real: int, scale: float):
+                n_real: int, scale: float, pack: int = 1):
     qkv = qkv_ref[0]  # (GW, Np, 3C)
     gw, np_, _ = qkv.shape
     p, q, k, v, hd = _probs(qkv, bias_ref, mask_ref, heads=heads,
-                            n_real=n_real, scale=scale)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
+                            n_real=n_real, scale=scale, pack=pack)
+    if pack > 1:
+        vp = _pack_rows(v, pack)
+        o = jax.lax.dot_general(p.astype(v.dtype), vp,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o = _unpack_rows(o, pack, np_)
+    else:
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
     o_ref[0] = _merge_heads(o.astype(o_ref.dtype), heads, gw, np_, hd)
 
 
 def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, *,
-                heads: int, n_real: int, scale: float):
+                heads: int, n_real: int, scale: float, pack: int = 1):
     """dqkv only. The bias-table gradient is computed by the VJP rule in
     plain XLA (recomputed probs) so the attack path — grad wrt images only —
     dead-code-eliminates it entirely; the previous in-kernel grid-resident
@@ -102,9 +165,14 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, *,
     qkv = qkv_ref[0]
     gw, np_, c3 = qkv.shape
     p, q, k, v, hd = _probs(qkv, bias_ref, mask_ref, heads=heads,
-                            n_real=n_real, scale=scale)
+                            n_real=n_real, scale=scale, pack=pack)
     do = _split_do(do_ref[0], heads, hd)  # (heads*GW, Np, hd)
 
+    if pack > 1:
+        # packed math throughout: p rows/cols outside the diagonal blocks
+        # carry probs ~0, so dv/dp/ds are exact (ds = p*(dp-row) vanishes
+        # off-diagonal with p).
+        do, q, k, v = (_pack_rows(t, pack) for t in (do, q, k, v))
     p_lp = p.astype(v.dtype)
     dv = jax.lax.dot_general(p_lp, do, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
@@ -117,6 +185,8 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, *,
                              preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
+    if pack > 1:
+        dq, dk, dv = (_unpack_rows(t, pack, np_) for t in (dq, dk, dv))
 
     dqkv_ref[0] = jnp.concatenate(
         [_merge_heads(t, heads, gw, np_, hd) for t in (dq, dk, dv)],
@@ -127,12 +197,15 @@ def _split_do(do_full, heads, hd):
     return _head_major(do_full, heads, hd)
 
 
-def _pick_gw(n_windows: int, heads: int) -> int:
+def _pick_gw(n_windows: int, heads: int, pack: int = 1) -> int:
     # One program holds heads*gw batched (Np, Np) f32 score/probability
-    # buffers in both passes; cap heads*gw so the backward's working set
-    # stays inside the ~16 MB VMEM budget across all Swin stages.
+    # buffers in both passes (pack>1: same total score bytes, grouped); cap
+    # heads*gw so the backward's working set stays inside the ~16 MB VMEM
+    # budget across all Swin stages. With packing, heads*gw must also be a
+    # multiple of the pack factor so groups tile the instance axis exactly.
     for cand in (32, 16, 8, 4, 2, 1):
-        if n_windows % cand == 0 and heads * cand <= 64:
+        if (n_windows % cand == 0 and heads * cand <= 64
+                and (heads * cand) % pack == 0):
             return cand
     return 1
 
@@ -144,9 +217,9 @@ def _pad_tokens(x: jax.Array, n_pad: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
 
-def _specs(qkv, bias, mask, heads):
+def _specs(qkv, bias, mask, heads, pack=1):
     b, nw, n_pad, _ = qkv.shape
-    gw = _pick_gw(nw, heads)
+    gw = _pick_gw(nw, heads, pack)
     grid = (b, nw // gw)
     qkv_spec = pl.BlockSpec((1, gw, n_pad, qkv.shape[-1]),
                             lambda i, j: (i, j, 0, 0),
@@ -163,13 +236,22 @@ def _specs(qkv, bias, mask, heads):
     return grid, [qkv_spec, bias_spec, mask_spec], map_spec
 
 
-def _call_fwd(qkv, bias, mask, *, heads: int, n_real: int, scale: float):
+def _resolve_pack(pack, nw, heads):
+    """Clamp the requested pack factor to one that divides some heads*gw."""
+    if pack <= 1:
+        return 1
+    gw = _pick_gw(nw, heads, pack)
+    return pack if (heads * gw) % pack == 0 else 1
+
+
+def _call_fwd(qkv, bias, mask, *, heads: int, n_real: int, scale: float,
+              pack: int = 1):
     b, nw, n_pad, c3 = qkv.shape
     c = c3 // 3
-    grid, in_specs, map_spec = _specs(qkv, bias, mask, heads)
+    grid, in_specs, map_spec = _specs(qkv, bias, mask, heads, pack)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, n_real=n_real,
-                          scale=scale),
+                          scale=scale, pack=pack),
         out_shape=jax.ShapeDtypeStruct((b, nw, n_pad, c), qkv.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -177,14 +259,15 @@ def _call_fwd(qkv, bias, mask, *, heads: int, n_real: int, scale: float):
     )(qkv, bias, mask)
 
 
-def _call_bwd(qkv, bias, mask, do, *, heads: int, n_real: int, scale: float):
+def _call_bwd(qkv, bias, mask, do, *, heads: int, n_real: int, scale: float,
+              pack: int = 1):
     b, nw, n_pad, c3 = qkv.shape
     c = c3 // 3
-    grid, in_specs, map_spec = _specs(qkv, bias, mask, heads)
+    grid, in_specs, map_spec = _specs(qkv, bias, mask, heads, pack)
     in_specs.append(map_spec(c))  # do (cotangent) shares the output layout
     return pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, n_real=n_real,
-                          scale=scale),
+                          scale=scale, pack=pack),
         out_shape=jax.ShapeDtypeStruct((b, nw, n_pad, c3), qkv.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -192,9 +275,9 @@ def _call_bwd(qkv, bias, mask, do, *, heads: int, n_real: int, scale: float):
     )(qkv, bias, mask, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
-                           heads: int) -> jax.Array:
+                           heads: int, pack: int = 1) -> jax.Array:
     """``softmax(q k^T / sqrt(hd) + bias + mask) v`` over Swin windows.
 
     ``qkv``: (B, nW, n, 3C) — the raw fused projection output (head-major
@@ -206,8 +289,14 @@ def fused_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
     kernel) and ``bias`` (XLA recompute in the VJP rule — DCE'd entirely on
     the attack path, where only image gradients are consumed); the shift
     mask is a constant (zero grad).
+
+    ``pack``: group this many (head, window) instances into one score
+    matmul with a block-diagonal mask (p*49-token M/N, contraction stays
+    hd) — p× raw score/PV FLOPs bought back as systolic utilization. 1
+    disables (default; flip via SwinConfig.pack_windows after a hardware
+    A/B — tools/tpu_ab_swin.py).
     """
-    return _fwd_impl(qkv, bias, mask, heads)
+    return _fwd_impl(qkv, bias, mask, heads, pack)
 
 
 def _prep(qkv, bias, mask):
@@ -221,26 +310,29 @@ def _prep(qkv, bias, mask):
     return qkv, bias, mask, n, n
 
 
-def _fwd_impl(qkv, bias, mask, heads):
+def _fwd_impl(qkv, bias, mask, heads, pack=1):
     qkv_p, bias_p, mask_p, n, n_pad = _prep(qkv, bias, mask)
     c = qkv.shape[-1] // 3
     scale = (c // heads) ** -0.5
-    o = _call_fwd(qkv_p, bias_p, mask_p, heads=heads, n_real=n, scale=scale)
+    pack = _resolve_pack(pack, qkv.shape[1], heads)
+    o = _call_fwd(qkv_p, bias_p, mask_p, heads=heads, n_real=n, scale=scale,
+                  pack=pack)
     return o[:, :, :n, :]
 
 
-def _fwd_rule(qkv, bias, mask, heads):
-    return _fwd_impl(qkv, bias, mask, heads), (qkv, bias, mask)
+def _fwd_rule(qkv, bias, mask, heads, pack=1):
+    return _fwd_impl(qkv, bias, mask, heads, pack), (qkv, bias, mask)
 
 
-def _bwd_rule(heads, res, g):
+def _bwd_rule(heads, pack, res, g):
     qkv, bias, mask = res
     qkv_p, bias_p, mask_p, n, n_pad = _prep(qkv, bias, mask)
     c = qkv.shape[-1] // 3
     scale = (c // heads) ** -0.5
     g_p = _pad_tokens(g, n_pad)
     dqkv = _call_bwd(qkv_p, bias_p, mask_p, g_p, heads=heads,
-                     n_real=n, scale=scale)
+                     n_real=n, scale=scale,
+                     pack=_resolve_pack(pack, qkv.shape[1], heads))
     n_real = qkv.shape[2]
     dbias = _dbias_xla(qkv, bias, mask, g, heads, scale)
     return dqkv[:, :, :n_real, :], dbias, jnp.zeros_like(mask)

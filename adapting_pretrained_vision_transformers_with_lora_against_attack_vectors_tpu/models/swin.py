@@ -54,6 +54,11 @@ class SwinConfig:
     # the VMEM budget (stages 1-3 of Swin-B in bf16; stage 4's 1024x4096
     # pair does not and falls back). TPU only.
     use_fused_mlp: bool = False
+    # Pack this many (head, window) instances into one block-masked score
+    # matmul inside the fused kernel (kernels/window_attention.py) — p*49
+    # M/N against the 128x128 MXU at p x raw-FLOP cost. 0/1 = off; gate any
+    # default flip on the tools/tpu_ab_swin.py hardware A/B.
+    pack_windows: int = 0
 
     @property
     def num_stages(self) -> int:
@@ -194,7 +199,7 @@ def init(rng: jax.Array, cfg: SwinConfig) -> dict:
 
 def _window_attention(bp: dict, x: jax.Array, *, heads: int, window: int,
                       rel_index: jax.Array, mask, eps: float,
-                      fused: bool = False) -> jax.Array:
+                      fused: bool = False, pack: int = 0) -> jax.Array:
     """x: (B, nW, W^2, C) -> same. ``mask``: (nW, W^2, W^2) or None."""
     b, nw, n, c = x.shape
     hd = c // heads
@@ -207,7 +212,7 @@ def _window_attention(bp: dict, x: jax.Array, *, heads: int, window: int,
         bias = bias.transpose(2, 0, 1)  # (heads, W^2, W^2), compact
         m = (mask if mask is not None
              else jnp.zeros((nw, n, n), jnp.float32))
-        out = fused_window_attention(qkv, bias, m, heads)
+        out = fused_window_attention(qkv, bias, m, heads, max(1, pack))
         return dense(bp["attn"]["proj"], out, compute_dtype=x.dtype)
     # Keep (B, nW, W^2, heads, hd) layout and let the einsums carry the head
     # axis — the explicit 6-axis transpose copied ~150 MB per block and
@@ -262,7 +267,8 @@ def _block(cfg: SwinConfig, bp: dict, x: jax.Array, *, heads: int,
     eps = cfg.layer_norm_eps
     attn = _window_attention(bp, x, heads=heads, window=cfg.window,
                              rel_index=rel_index, mask=mask, eps=eps,
-                             fused=cfg.use_fused_attention)
+                             fused=cfg.use_fused_attention,
+                             pack=cfg.pack_windows)
     x = x + attn
     h = layer_norm(bp["ln2"], x, eps=eps)
     fc1, fc2 = bp["mlp"]["fc1"], bp["mlp"]["fc2"]

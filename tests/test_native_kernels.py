@@ -140,6 +140,21 @@ def test_fused_window_attention_interpret_parity():
         np.testing.assert_allclose(np.asarray(g[1]), np.asarray(g_ref[1]),
                                    atol=5e-5, rtol=1e-3)
 
+        # packed variant (round 4, VERDICT r3 item 6): p instances grouped
+        # into one block-masked score matmul must reproduce the unpacked
+        # math — forward and qkv gradient — for pack factors that divide
+        # heads*gw and ones that don't (which silently fall back to 1).
+        for pack in (2, 4, 3):
+            o_p = fused_window_attention(qkv, bias, mask, heads, pack)
+            np.testing.assert_allclose(np.asarray(o_p), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-4,
+                                       err_msg=f"pack={pack}")
+            g_p = jax.grad(loss(lambda q_: fused_window_attention(
+                q_, bias, mask, heads, pack)))(qkv)
+            np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_ref[0]),
+                                       atol=5e-5, rtol=1e-3,
+                                       err_msg=f"pack={pack}")
+
 
 def test_fused_window_attention_swin_flag_interpret():
     """The SwinConfig flag routes through the kernel and matches the XLA
