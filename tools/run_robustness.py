@@ -104,7 +104,11 @@ def main() -> None:
     d = args.workdir
     os.makedirs(d, exist_ok=True)
     if args.quick:
-        args.model, image_size = "vit_test", 32
+        # respect an explicit tiny backbone (swin_test/convnext_test/...);
+        # only the flagship default collapses to vit_test
+        if args.model == "google_vit":
+            args.model = "vit_test"
+        image_size = 64 if args.model == "yolo11_test" else 32
         args.n_per_class, args.epochs, args.lora_epochs = 4, 1, 1
         args.pgd_steps, args.patch_iters, args.rp2_iters = 2, 3, 3
         args.rp2_patch_size = 8
