@@ -61,4 +61,8 @@ step 8 3000 "zoo r4" python tools/bench_zoo.py --json ZOO_r04.json
 step 9 2400 "eval bench r4" python tools/bench_eval.py --json EVAL_r04.json
 step 10 1800 "eval forward attribution" python tools/profile_eval.py
 
+# 11. Fresh PGD trace for the roofline accounting (VERDICT item 7:
+#     attribute the 226 ms "generic fusions" bucket per-fusion).
+step 11 1800 "pgd trace r4" python tools/profile_pgd.py --top 40
+
 echo "$(date +%H:%M:%S) queue complete" | tee -a "$LOG"
