@@ -193,6 +193,21 @@ def _parse_json_line(text: str) -> dict | None:
     return None
 
 
+def _compute_alive(timeout_s: float = 90.0) -> bool:
+    """True iff a tiny jitted matmul completes on the default backend within
+    ``timeout_s`` — catches the wedged-backend mode where the relay port
+    accepts but every compute call blocks forever (observed round 4)."""
+    code = ("import jax, jax.numpy as jnp\n"
+            "assert float(jax.jit(lambda a: (a @ a).sum())"
+            "(jnp.ones((128, 128)))) == 128 * 128\n")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=timeout_s).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     """Retry harness: fresh subprocess per attempt, JSON line no matter what."""
     from tunnel_probe import relay_alive
@@ -207,6 +222,13 @@ def main() -> None:
     preflight_alive = relay_alive()
     if not preflight_alive:
         attempts, timeout = 1, min(timeout, 180.0)
+    elif not _compute_alive():
+        # Round-4 observed failure mode: the relay PORT accepts while remote
+        # COMPUTE hangs forever (backend wedged server-side after a killed
+        # client). Port-only preflight would burn attempts x 1800 s here.
+        # Advisory like the port probe: shorten, never skip.
+        preflight_alive = False
+        attempts, timeout = 1, min(timeout, 240.0)
     here = os.path.dirname(os.path.abspath(__file__))
 
     env = dict(os.environ, **{_CHILD_FLAG: "1"})
