@@ -529,7 +529,8 @@ def cmd_train_lora(args):
             try:
                 lcfg = lora.LoRAConfig(rank=rank, alpha=args.lora_alpha,
                                        targets=entry.lora_targets(cfg),
-                                       dropout=args.lora_dropout)
+                                       dropout=args.lora_dropout,
+                                       dropout_mode=args.lora_dropout_mode)
                 out_dir = os.path.join(args.output_dir, args.model, source,
                                        attack)
                 res = loop.train_lora_adapter(
@@ -775,6 +776,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ranks", nargs="+", type=int, default=[8, 16, 32])
     sp.add_argument("--lora_alpha", type=float, default=16.0)
     sp.add_argument("--lora_dropout", type=float, default=0.1)
+    sp.add_argument("--lora_dropout_mode", default="input",
+                    choices=["input", "post_a"],
+                    help="'input' = PEFT-exact mask placement; 'post_a' = "
+                         "mask the rank-r projection instead (TPU-fast, "
+                         "documented divergence — ops/nn.dense)")
     sp.add_argument("--epochs", type=int, default=4)
     sp.add_argument("--learning_rate", type=float, default=1e-4)
     sp.set_defaults(fn=cmd_train_lora)

@@ -70,13 +70,16 @@ def _render_hard(cls_idx: int, rng: np.random.Generator, size: int) -> np.ndarra
     img[outer] = np.asarray(border, np.uint8)
     img[inner] = int(rng.integers(195, 231))  # near-white interior
 
-    # glyph: (code+1) thin vertical bars, centered on the sign interior
+    # glyph: (code+1) bold vertical bars, centered on the sign interior
+    # (bar width ~10 px at 224 — thin enough to be a fine feature relative
+    # to the 8/255 Linf ball, bold enough that a from-scratch ViT-B/16
+    # learns the count from a few hundred images)
     n = code + 1
-    bw = max(2, round(size * 0.030))
-    gap = max(2, round(size * 0.030))
+    bw = max(2, round(size * 0.045))
+    gap = max(2, round(size * 0.045))
     span = n * bw + (n - 1) * gap
     gy = cy + (0.22 * r if group == 2 else 0.0)  # triangle mass sits lower
-    gh = 0.55 * r
+    gh = 0.60 * r
     x0 = cx - span / 2.0
     glyph = np.zeros((size, size), bool)
     for i in range(n):

@@ -117,11 +117,18 @@ def _conv(cfg, p, x, *, stride=1, groups=1, act=True):
             key = p["lora_rng"].reshape(())
             mask = jax.random.bernoulli(key, keep, x.shape)
             xb = x * (mask / keep).astype(x.dtype)
+        xa = jnp.einsum("bhwi,ir->bhwr", xb, a,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        if "lora_rng_pa" in p:
+            # post-split dropout mode (ops/lora.py dropout_mode="post_a"):
+            # mask on the rank-r projection, same divergence note as
+            # ops.nn.dense
+            keep = 1.0 - p["lora_p"].reshape(())
+            key = p["lora_rng_pa"].reshape(())
+            mask = jax.random.bernoulli(key, keep, xa.shape)
+            xa = xa * (mask / keep).astype(xa.dtype)
         out = out + s * jnp.einsum(
-            "bhwr,ro->bhwo", jnp.einsum("bhwi,ir->bhwr", xb, a,
-                                        preferred_element_type=jnp.float32
-                                        ).astype(x.dtype), b,
-            preferred_element_type=jnp.float32)
+            "bhwr,ro->bhwo", xa, b, preferred_element_type=jnp.float32)
     bn = p["bn"]
     inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + cfg.bn_eps)
     out = (out - bn["mean"].astype(jnp.float32)) * inv \

@@ -41,6 +41,12 @@ class LoRAConfig:
     alpha: float = 16.0
     targets: tuple[str, ...] = ()  # '/'-joined paths of dense subtrees
     dropout: float = 0.1  # applied to the adapter branch input during training
+    # "input": PEFT-exact placement — Bernoulli mask on the adapter-branch
+    # input x (C-dim). "post_a": mask on the rank-r projection x@A instead —
+    # unbiased like "input" but C/r-fold less mask work and no masked
+    # (B, N, C) copies per target (TPU-fast; documented divergence, see
+    # ops/nn.dense).
+    dropout_mode: str = "input"
 
     @property
     def scale(self) -> float:
@@ -94,7 +100,9 @@ def attach(params, adapter: Mapping, cfg: LoRAConfig, *,
 
                 n_lead = math.prod(lead) if lead else 1
                 keys = jax.random.split(key, n_lead)
-                new["lora_rng"] = keys.reshape(lead) if lead else keys[0]
+                rng_key = ("lora_rng_pa" if cfg.dropout_mode == "post_a"
+                           else "lora_rng")
+                new[rng_key] = keys.reshape(lead) if lead else keys[0]
                 new["lora_p"] = jnp.full(lead, cfg.dropout, jnp.float32)
             return new
 
@@ -108,7 +116,8 @@ def detach(params):
     flat = trees.flatten_with_paths(params)
     kept = {p: v for p, v in flat.items()
             if p.rsplit("/", 1)[-1] not in ("lora_a", "lora_b", "lora_s",
-                                            "lora_rng", "lora_p")}
+                                            "lora_rng", "lora_rng_pa",
+                                            "lora_p")}
     return trees.unflatten_from_paths(kept)
 
 

@@ -58,40 +58,51 @@ def dense(p: Params, x: jax.Array, *, compute_dtype=None, accum_dtype=jnp.float3
         if "lora_rng" in p:
             # PEFT lora_dropout: inverted dropout on the adapter-branch input
             # only (the frozen W path sees undropped x). Keys/rates are leaves
-            # inserted by ops.lora.attach(dropout_rng=...), training form only.
-            #
-            # Masks come from the backend's native counter-based generator
-            # (lax.rng_bit_generator — the hardware RNG on TPU), not
-            # jax.random.bernoulli: threefry mask generation was measured at
-            # ~30 of 86 ms per ViT-B LoRA train step (48 masks over
-            # (B,197,768), each regenerated in the backward), inverting the
-            # LoRA-vs-full-finetune throughput ordering. Hardware bits cut
-            # that to ~4 ms (722.8 -> 1001.7 imgs/s, PERF.md "LoRA dropout
-            # masks"). Each target's stream is seeded from its own threefry
-            # key leaf, so masks stay independent across targets and
-            # deterministic per (seed, step) on a given backend; the keep
-            # probability is quantized to a multiple of 2^-16 (|error| <=
-            # 7.7e-6) and the inverted scale divides by the QUANTIZED keep,
-            # so E[xb] == x exactly. Unlike threefry, bit streams are not
-            # guaranteed identical across backends/XLA versions — a non-issue
-            # for dropout regularization.
-            keep = 1.0 - p["lora_p"]
-            kd = jax.random.key_data(p["lora_rng"]).astype(jnp.uint32)
-            kd = kd.reshape(-1)
-            state = jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)])
-            bits = jax.lax.rng_bit_generator(state, x.shape,
-                                             dtype=jnp.uint32)[1]
-            thresh = jnp.round(keep * 65536.0).astype(jnp.uint32)
-            keep_q = thresh.astype(jnp.float32) * (1.0 / 65536.0)
-            mask = (bits >> jnp.uint32(16)) < thresh
-            xb = x * (mask / keep_q).astype(x.dtype)
+            # inserted by ops.lora.attach(dropout_rng=...), training form
+            # only. Hardware-RNG masks (not threefry): threefry mask
+            # generation cost ~30 of 86 ms per ViT-B LoRA step (PERF.md
+            # "LoRA dropout masks") — see _rbg_dropout_scale.
+            xb = x * _rbg_dropout_scale(p["lora_rng"], p["lora_p"],
+                                        x.shape).astype(x.dtype)
         xa = jnp.dot(xb.astype(cd), a, preferred_element_type=accum_dtype)
+        if "lora_rng_pa" in p:
+            # POST-SPLIT dropout (ops/lora.py dropout_mode="post_a"): the
+            # Bernoulli mask applies to the rank-r projection x@A instead of
+            # the C-dim input — the mask tensor shrinks C/r-fold (96x for
+            # ViT-B rank 8) and the A-matmul reads clean x, so q/k/v adapter
+            # contractions no longer each materialize a masked (B, N, C)
+            # copy (r3 trace: the LoRA-vs-full MFU gap's named blocker).
+            # DOCUMENTED DIVERGENCE from PEFT's lora_dropout placement: both
+            # are unbiased (E[y] identical); the regularization noise lands
+            # on the low-rank subspace instead of the input pixels of it.
+            # Opt-in; the default "input" mode keeps PEFT-exact placement.
+            xa = xa * _rbg_dropout_scale(p["lora_rng_pa"], p["lora_p"],
+                                         xa.shape).astype(accum_dtype)
         y = y + p["lora_s"].astype(accum_dtype) * jnp.dot(
             xa.astype(cd), b, preferred_element_type=accum_dtype
         )
     if "b" in p:
         y = y + p["b"].astype(accum_dtype)
     return y.astype(cd)
+
+
+def _rbg_dropout_scale(rng_leaf, p_leaf, shape):
+    """Inverted-dropout multiplier (mask / keep_q) from the backend's native
+    counter-based generator (``lax.rng_bit_generator`` — the hardware RNG on
+    TPU). The keep probability is quantized to a multiple of 2^-16
+    (|error| <= 7.7e-6) and the inverted scale divides by the QUANTIZED
+    keep, so the expectation is exact. Streams are seeded from a threefry
+    key leaf: independent across targets, deterministic per (seed, step) on
+    a given backend; unlike threefry, bit streams are not guaranteed
+    identical across backends/XLA versions — a non-issue for dropout."""
+    keep = 1.0 - p_leaf
+    kd = jax.random.key_data(rng_leaf).astype(jnp.uint32).reshape(-1)
+    state = jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)])
+    bits = jax.lax.rng_bit_generator(state, shape, dtype=jnp.uint32)[1]
+    thresh = jnp.round(keep * 65536.0).astype(jnp.uint32)
+    keep_q = thresh.astype(jnp.float32) * (1.0 / 65536.0)
+    mask = (bits >> jnp.uint32(16)) < thresh
+    return mask / keep_q
 
 
 def layer_norm_init(dim: int, *, dtype=jnp.float32) -> dict:

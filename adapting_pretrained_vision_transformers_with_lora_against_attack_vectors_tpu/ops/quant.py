@@ -121,7 +121,8 @@ int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
 
 # --- tree-level weight quantization ----------------------------------------
 
-QUANT_SKIP_KEYS = ("lora_a", "lora_b", "lora_s", "lora_rng", "lora_p")
+QUANT_SKIP_KEYS = ("lora_a", "lora_b", "lora_s", "lora_rng",
+                   "lora_rng_pa", "lora_p")
 
 
 def quantize_dense_tree(params: Mapping[str, Any], targets: tuple[str, ...]):

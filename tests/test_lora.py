@@ -197,3 +197,48 @@ def test_lora_dropout_mask_statistics(rng):
     p2 = dict(p, lora_rng=jax.random.key(8))
     y3 = jax.jit(nn.dense)(p2, x)
     assert float(jnp.abs(y3 - y1).max()) > 0.0
+
+
+def test_lora_dropout_post_a_mode(rng):
+    """dropout_mode='post_a' (ops/lora.py): the mask lands on the rank-r
+    projection x@A, not the input — stochastic across keys, exact manual
+    reference through ops.nn._rbg_dropout_scale, detach strips the leaf."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import lora, nn
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.utils import trees
+
+    params = {"lin": nn.dense_init(rng, 16, 8)}
+    lcfg = lora.LoRAConfig(rank=4, alpha=8.0, dropout=0.5,
+                           dropout_mode="post_a", targets=("lin",))
+    adapter = jax.tree.map(lambda v: v + 0.05,
+                           lora.init(jax.random.fold_in(rng, 1), params, lcfg))
+    x = jax.random.uniform(jax.random.fold_in(rng, 2), (5, 16))
+
+    attached = lora.attach(params, adapter, lcfg, dropout_rng=jax.random.key(0))
+    leaf = attached["lin"]
+    assert "lora_rng_pa" in leaf and "lora_rng" not in leaf
+    y = nn.dense(leaf, x)
+
+    # exact manual reference with the same RBG stream
+    xa = x @ np.asarray(adapter["lin"]["a"])
+    scale_mask = np.asarray(nn._rbg_dropout_scale(
+        leaf["lora_rng_pa"], leaf["lora_p"], xa.shape))
+    ref = (x @ np.asarray(params["lin"]["w"])
+           + lcfg.scale * (xa * scale_mask) @ np.asarray(adapter["lin"]["b"])
+           + np.asarray(params["lin"]["b"]))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+    # stochastic across keys; deterministic per key
+    y1 = nn.dense(lora.attach(params, adapter, lcfg,
+                              dropout_rng=jax.random.key(1))["lin"], x)
+    assert float(jnp.abs(y - y1).max()) > 1e-6
+    np.testing.assert_array_equal(np.asarray(nn.dense(leaf, x)), np.asarray(y))
+
+    # detach strips the post_a leaves
+    clean = lora.detach(attached)
+    assert "lora_rng_pa" not in trees.flatten_with_paths(clean)
+    for path in trees.flatten_with_paths(clean):
+        assert not path.rsplit("/", 1)[-1].startswith("lora_")

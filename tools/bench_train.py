@@ -37,7 +37,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_PEAK_TFLOPS = 197.0  # bf16
-GF_PER_IMG = {"full": 128.0, "lora": 88.0}  # analytic, see docstring
+GF_PER_IMG = {"full": 128.0, "lora": 88.0, "lora_pa": 88.0}  # analytic, see docstring
 
 
 def build_step(mode: str, batch: int, augment: bool,
@@ -92,9 +92,14 @@ def build_step(mode: str, batch: int, augment: bool,
                                step_rng=step_rng if augment else None,
                                augment=aug)
         state = TrainState.create(params, tx)
-    elif mode == "lora":
+    elif mode in ("lora", "lora_pa"):
+        # lora_pa: post-split dropout placement (ops/lora.py
+        # dropout_mode="post_a") — the r4 candidate for the LoRA-step MFU
+        # gap (VERDICT r3 item 5); A/B against PEFT-exact "lora"
         lcfg = lora.LoRAConfig(rank=8, alpha=16.0, dropout=0.1,
-                               targets=vit.LORA_TARGETS_DEFAULT)
+                               targets=vit.LORA_TARGETS_DEFAULT,
+                               dropout_mode=("post_a" if mode == "lora_pa"
+                                             else "input"))
         base = jax.jit(lambda p: jax.tree.map(
             lambda x: x.astype(jnp.bfloat16), p))(params)
         adapter = jax.jit(lambda r: lora.init(r, params, lcfg))(
@@ -157,7 +162,8 @@ def bench_mode(mode: str, batch: int, iters: int, augment: bool,
         "fused_block": fused_block and not tiny,
         "fused_block_scope": (
             "none" if (not fused_block or tiny)
-            else "mlp_half_only" if mode == "lora" else "both_halves"),
+            else "mlp_half_only" if mode.startswith("lora")
+            else "both_halves"),
     }
 
 
