@@ -100,7 +100,12 @@ def test_peft_library_reads_our_adapters(hf_model, tmp_path):
 
     out_dir = str(tmp_path / "peft_ad")
     peft_io.save_peft_adapter(adapter, cfg, out_dir, head=params["head"])
-    peft_model = peft.PeftModel.from_pretrained(hf_model, out_dir)
+    # deepcopy: PeftModel.from_pretrained flips requires_grad on the wrapped
+    # model IN PLACE, which would poison the module-scoped fixture for the
+    # later train-dynamics test (order-dependent failure)
+    import copy
+
+    peft_model = peft.PeftModel.from_pretrained(copy.deepcopy(hf_model), out_dir)
     merged_torch = peft_model.merge_and_unload()
 
     merged_ours = lora.merge(params, adapter, cfg)
@@ -489,6 +494,8 @@ def test_vit_train_dynamics_match_torch(hf_model):
 
     model = copy.deepcopy(hf_model)
     model.train()  # dropout probs are 0.0 in ViTConfig defaults: deterministic
+    for p in model.parameters():  # belt-and-braces vs fixture poisoning
+        p.requires_grad_(True)
     params = hf_import.vit_params_from_hf(model.state_dict(), OUR_CFG)
 
     rng = np.random.default_rng(7)
