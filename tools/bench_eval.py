@@ -83,10 +83,28 @@ def main() -> None:
     ap.add_argument("--models", nargs="+", default=DEFAULT_MODELS)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--sweep_batch", nargs="*", type=int,
+                    default=[64, 128, 256, 512],
+                    help="extra batch sizes swept for the FIRST model only "
+                         "(eval-MFU attribution, VERDICT r3 item 9: the "
+                         "attack path measured B=64 optimal with larger "
+                         "batches losing; pass no values to disable)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     records = []
+    for b in args.sweep_batch:
+        if b == args.batch or not args.models:
+            continue
+        rec = {"backbone": args.models[0], "batch": b, "int8": False,
+               "metric": "eval_forward_imgs_per_sec_per_chip"}
+        try:
+            v, _ = bench_one(args.models[0], b, args.iters)
+            rec["value"] = round(v, 1)
+            print(f"batch sweep {args.models[0]} B={b}: {rec['value']} imgs/s")
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {e}"
+        records.append(rec)
     print(f"| backbone | eval imgs/s (B={args.batch}) |")
     print("|---|---|")
     variants = [(n, False) for n in args.models]
