@@ -358,3 +358,32 @@ def test_generate_pairs_rows_despite_skipped_duplicate(tmp_path):
         clean_metadata=meta)
     assert len(adv_meta) == 1
     assert adv_meta.iloc[0]["unified_class"] == "yield"
+
+
+def test_synthetic_hard_style(tmp_path):
+    """--style hard: 12 glyph-coded classes, same filesystem contract,
+    deterministic renders, and the discriminative feature (bar-count glyph)
+    is present — dark-pixel area increases monotonically with the glyph
+    code within a shape group."""
+    import numpy as np
+
+    from apvt_lora.data import synthetic
+
+    frames = synthetic.make_synthetic_dataset(
+        str(tmp_path), n_per_class=2, image_size=64, style="hard")
+    assert frames["train"].unified_class.nunique() == 12
+    assert set(frames["train"].unified_class) == set(synthetic.HARD_CLASSES)
+
+    # determinism: same seed renders identical pixels
+    rng1 = np.random.default_rng(7)
+    rng2 = np.random.default_rng(7)
+    a = synthetic._render_hard(5, rng1, 96)
+    b = synthetic._render_hard(5, rng2, 96)
+    np.testing.assert_array_equal(a, b)
+
+    # glyph monotonicity within the circle group (codes 0..3)
+    areas = []
+    for code in range(4):
+        img = synthetic._render_hard(code, np.random.default_rng(3), 224)
+        areas.append(int((img < 80).all(-1).sum()))
+    assert areas[0] < areas[1] < areas[2] < areas[3]
