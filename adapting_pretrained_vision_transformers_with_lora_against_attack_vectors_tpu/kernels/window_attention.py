@@ -199,12 +199,14 @@ def _split_do(do_full, heads, hd):
 
 def _pick_gw(n_windows: int, heads: int, pack: int = 1) -> int:
     # One program holds heads*gw batched (Np, Np) f32 score/probability
-    # buffers in both passes (pack>1: same total score bytes, grouped); cap
-    # heads*gw so the backward's working set stays inside the ~16 MB VMEM
-    # budget across all Swin stages. With packing, heads*gw must also be a
-    # multiple of the pack factor so groups tile the instance axis exactly.
+    # buffers in both passes; cap heads*gw so the backward's working set
+    # stays inside the ~16 MB VMEM budget across all Swin stages. Packed
+    # scores cost p x the bytes ((I/p)·(p·Np)² = I·p·Np²) — that IS the
+    # traded FLOP/byte waste — so the cap applies to heads*gw*pack, and
+    # heads*gw must tile into whole groups of `pack`.
+    budget = 64 if pack <= 1 else 128 // pack  # pack=1 keeps r3's tuned cap
     for cand in (32, 16, 8, 4, 2, 1):
-        if (n_windows % cand == 0 and heads * cand <= 64
+        if (n_windows % cand == 0 and heads * cand <= budget
                 and (heads * cand) % pack == 0):
             return cand
     return 1
