@@ -54,7 +54,8 @@ step 5 1800 "train profile (lora)" python tools/profile_train.py --mode lora
 
 # 6. Headline bench + train/zoo artifacts.
 step 6 1200 "bench.py headline" python bench.py
-step 7 2400 "train bench r4" python tools/bench_train.py --json TRAIN_r04.json
+step 7 2400 "train bench r4 (incl. post_a dropout A/B)" \
+  python tools/bench_train.py --json TRAIN_r04.json --modes full lora lora_pa
 step 8 3000 "zoo r4" python tools/bench_zoo.py --json ZOO_r04.json
 
 # 9. Eval-forward attribution + int8 verdict inputs (VERDICT items 8+9).
