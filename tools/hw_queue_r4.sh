@@ -33,13 +33,13 @@ step() { # step <n> <timeout_s> <desc> <cmd...>
 #    five families incl. RP2, 60 epochs (clean acc 0.77 @30 and still
 #    climbing in calibration).
 step 1 3600 "flagship robustness r4" \
-  python tools/run_robustness.py --epochs 60 --out ROBUSTNESS_r04.json \
-      --workdir /tmp/apvt_rob_r4
+  python tools/run_robustness.py --epochs 60 --n_per_class 32 \
+      --out ROBUSTNESS_r04.json --workdir /tmp/apvt_rob_r4
 
 # 2. Swin-B through the full six-stage pipeline (VERDICT item 4), reduced
 #    attack budgets to bound cost.
 step 2 3600 "swin flagship pipeline" \
-  python tools/run_robustness.py --model swin --epochs 60 \
+  python tools/run_robustness.py --model swin --epochs 60 --n_per_class 32 \
       --patch_iters 150 --rp2_iters 150 --aa_iters 25 --aa_queries 300 \
       --out ROBUSTNESS_SWIN_r04.json --workdir /tmp/apvt_rob_swin_r4
 
