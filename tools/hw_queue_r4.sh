@@ -12,7 +12,7 @@ START=${1:-1}
 probe() {
   timeout -k 10 120 python -c "
 import jax, jax.numpy as jnp
-assert float(jax.jit(lambda a:(a@a).sum())(jnp.ones((128,128)))) == 128*128
+assert float(jax.jit(lambda a:(a@a).sum())(jnp.ones((128,128)))) == 128.0**3
 print('probe-ok')" >/dev/null 2>&1
 }
 
