@@ -301,6 +301,22 @@ def cmd_autoattack(args):
         warm_s = f"{sum(warm) / len(warm):8.2f}" if warm else "       —"
         print(f"  {name:8s} bucket={bucket:<4d} calls={len(ts):<4d} "
               f"first={ts[0]:8.2f}s warm_mean={warm_s}s")
+    if getattr(args, "stats_json", None):
+        import json as _json
+        rows = [{"stage": name, "bucket": bucket, "calls": len(ts),
+                 "first_s": round(ts[0], 3),
+                 "warm_mean_s": round(sum(ts[1:]) / len(ts[1:]), 3)
+                 if len(ts) > 1 else None,
+                 "total_s": round(sum(ts), 3)}
+                for (name, bucket), ts in sorted(suite.stats.items())]
+        with open(args.stats_json, "w") as f:
+            _json.dump({"model": args.model, "n_iter": args.n_iter,
+                        "square_queries": args.square_queries,
+                        "suite": list(args.suite),
+                        "total_attributed_s": round(sum(
+                            r["total_s"] for r in rows), 1),
+                        "stages": rows}, f, indent=2)
+        print(f"wrote {args.stats_json}")
 
 
 def cmd_patch_attack(args):
@@ -452,6 +468,9 @@ def cmd_rp2_attack(args):
             args, vocab, (args.patch_train_split,),
             batch_size=args.batch_size, image_size=cfg.image_size,
             shuffle_train=False)[args.patch_train_split]
+        if tl is None:
+            print(f"rp2 {args.patch_train_split}: no samples after filtering")
+            return
         shared_patch_arr = train_patches(args.patch_train_split, tl)
         if shared_patch_arr is None:
             return
@@ -730,6 +749,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--square_queries", type=int, default=5000)
     sp.add_argument("--suite", nargs="+",
                     default=["apgd-ce", "apgd-t", "fab-t", "square"])
+    sp.add_argument("--stats_json", default=None,
+                    help="write the per-(stage,bucket) wall attribution as "
+                         "JSON (first call per bucket = compile+run)")
     sp.set_defaults(fn=cmd_autoattack)
 
     sp = sub.add_parser("patch-attack", help="EOT adversarial patch")

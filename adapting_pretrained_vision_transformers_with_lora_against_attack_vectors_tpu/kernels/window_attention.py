@@ -209,7 +209,10 @@ def _pick_gw(n_windows: int, heads: int, pack: int = 1) -> int:
         if (n_windows % cand == 0 and heads * cand <= budget
                 and (heads * cand) % pack == 0):
             return cand
-    return 1
+    # pack<=1 keeps the historical gw=1 fallback (budget is advisory there);
+    # pack>1 returns 0 = "no gw fits the cap" so _resolve_pack drops to
+    # pack=1 instead of blowing past the heads*gw*pack VMEM budget.
+    return 1 if pack <= 1 else 0
 
 
 def _pad_tokens(x: jax.Array, n_pad: int) -> jax.Array:
@@ -243,7 +246,7 @@ def _resolve_pack(pack, nw, heads):
     if pack <= 1:
         return 1
     gw = _pick_gw(nw, heads, pack)
-    return pack if (heads * gw) % pack == 0 else 1
+    return pack if gw > 0 and (heads * gw) % pack == 0 else 1
 
 
 def _call_fwd(qkv, bias, mask, *, heads: int, n_real: int, scale: float,

@@ -199,7 +199,7 @@ def _compute_alive(timeout_s: float = 90.0) -> bool:
     accepts but every compute call blocks forever (observed round 4)."""
     code = ("import jax, jax.numpy as jnp\n"
             "assert float(jax.jit(lambda a: (a @ a).sum())"
-            "(jnp.ones((128, 128)))) == 128 * 128\n")
+            "(jnp.ones((128, 128)))) == 128.0 ** 3\n")
     try:
         return subprocess.run(
             [sys.executable, "-c", code], capture_output=True,

@@ -62,6 +62,13 @@ HF_CFG = dict(image_size=IMG, patch_size=8, hidden_size=64,
               num_hidden_layers=2, num_attention_heads=2,
               intermediate_size=128, num_labels=N_CLASSES)
 
+# Production ViT-B/224 geometry (reference train.py google/vit-base-patch16-224
+# backbone shape) — selected by --full; sample counts must be kept small, the
+# whole experiment runs twice (torch + jax) on the host CPU.
+FULL_HF_CFG = dict(image_size=224, patch_size=16, hidden_size=768,
+                   num_hidden_layers=12, num_attention_heads=12,
+                   intermediate_size=3072, num_labels=N_CLASSES)
+
 LORA_TARGETS = ("blocks/attn/q", "blocks/attn/k", "blocks/attn/v",
                 "blocks/attn/o", "blocks/mlp/fc2")
 
@@ -235,8 +242,12 @@ class JaxSide:
 
         self.jax, self.jnp, self.optax, self.vit = jax, jnp, optax, vit
         self.cfg = vit.ViTConfig(
-            image_size=IMG, patch_size=8, hidden_dim=64, depth=2, num_heads=2,
-            mlp_dim=128, num_classes=N_CLASSES, compute_dtype="float32")
+            image_size=HF_CFG["image_size"], patch_size=HF_CFG["patch_size"],
+            hidden_dim=HF_CFG["hidden_size"],
+            depth=HF_CFG["num_hidden_layers"],
+            num_heads=HF_CFG["num_attention_heads"],
+            mlp_dim=HF_CFG["intermediate_size"], num_classes=N_CLASSES,
+            compute_dtype="float32")
         self.params = hf_import.vit_params_from_hf(torch_state_dict, self.cfg)
         self._mean = jnp.asarray(MEAN)
         self._std = jnp.asarray(STD)
@@ -373,7 +384,15 @@ def main() -> int:
     ap.add_argument("--pgd_steps", type=int, default=10)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--wd", type=float, default=1e-4)
+    ap.add_argument("--full", action="store_true",
+                    help="run at production ViT-B/224 geometry (VERDICT r4 "
+                         "item 4); keep sample counts small — every stage "
+                         "runs twice on the host CPU at 17.5 GFLOP/image")
     args = ap.parse_args()
+    if args.full:
+        global IMG, HF_CFG
+        HF_CFG = dict(FULL_HF_CFG)
+        IMG = HF_CFG["image_size"]
     t0 = time.time()
 
     import tempfile
@@ -477,6 +496,8 @@ def main() -> int:
     ok = worst <= args.tol
     artifact = {
         "protocol": {"classes": N_CLASSES, "image_size": IMG,
+                     "geometry": "full_vit_b" if args.full else "tiny",
+                     "hf_cfg": dict(HF_CFG),
                      "n_train": n_train, "n_test": len(corpus["test"][1]),
                      "epochs": args.epochs, "lora_epochs": args.lora_epochs,
                      "eps": args.eps, "alpha": args.alpha,

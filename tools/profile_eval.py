@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--table_json", default=None,
+                    help="also write the top-ops table as JSON")
     ap.add_argument("--backbone", default="google_vit")
     args = ap.parse_args()
 
@@ -92,7 +94,7 @@ def main() -> None:
     with jax.profiler.trace(args.out):
         int(chain(params, images)[-1])
 
-    print_top_ops(args.out, args.top)
+    print_top_ops(args.out, args.top, json_out=args.table_json)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--scan", action="store_true",
                     help="profile the lax.scan encoder instead of unrolled")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--table_json", default=None,
+                    help="also write the top-ops table as JSON")
     ap.add_argument("--backbone", default="google_vit",
                     help="zoo registry name (same flag set as bench_zoo)")
     args = ap.parse_args()
@@ -74,7 +76,7 @@ def main() -> None:
     with jax.profiler.trace(args.out):
         float(jnp.sum(run(params, images, labels, jax.random.key(1))))
 
-    print_top_ops(args.out, args.top)
+    print_top_ops(args.out, args.top, json_out=args.table_json)
 
 
 if __name__ == "__main__":

@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--out", default="/tmp/jax-trace-train")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--table_json", default=None,
+                    help="also write the top-ops table as JSON")
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--fused-block", action="store_true")
     args = ap.parse_args()
@@ -49,7 +51,7 @@ def main() -> None:
         state, m = step(state, images, labels, valid)
         float(m["loss_sum"])
 
-    print_top_ops(args.out, args.top)
+    print_top_ops(args.out, args.top, json_out=args.table_json)
 
 
 if __name__ == "__main__":

@@ -143,11 +143,13 @@ def main() -> None:
                                "--patch_type", "circle",
                                "--max_iter", str(args.patch_iters),
                                "--batch_size", "24"], stages)
+    aa_stats_path = os.path.join(d, "aa_stats.json")
     run_stage("attack-autoattack", ["autoattack", *common,
                                     "--splits", "train", "val", "test",
                                     "--epsilon", str(args.epsilon),
                                     "--n_iter", str(args.aa_iters),
                                     "--square_queries", str(args.aa_queries),
+                                    "--stats_json", aa_stats_path,
                                     "--batch_size", "64"], stages)
     # RP2 = fifth family (BASELINE.json config 5; reference rp2_attack.py
     # intent). Patches train once on the train split (physical-sticker
@@ -191,6 +193,11 @@ def main() -> None:
         "total_seconds": round(time.perf_counter() - t_total, 1),
         "matrix": matrix,
     }
+    # per-(stage,bucket) wall attribution of the AutoAttack stage (VERDICT
+    # r4 item 7: the suite cost center must be attributed, not guessed)
+    if os.path.exists(aa_stats_path):
+        with open(aa_stats_path) as f:
+            artifact["aa_attribution"] = json.load(f)
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=2)
     print(f"wrote {args.out} (total {artifact['total_seconds']:.0f}s)")
