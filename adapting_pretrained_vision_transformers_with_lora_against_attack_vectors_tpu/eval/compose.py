@@ -114,6 +114,48 @@ def find_lora_adapters(lora_root: str, attacks: Sequence[str], rank: int,
     return found
 
 
+def make_device_variant_builder(base_params, adapters: Mapping[str, tuple]):
+    """Variant weights built ON DEVICE: one jitted ΔW-sum + head-swap program
+    per (adapter-config signature, head-presence) pair.
+
+    The eager path (:func:`build_variant_params`) dispatches ~4 ops per
+    target per adapter (einsum, cast, add, tree rebuild) — ~20-60 round
+    trips per variant through a remote-device transport (the axon tunnel)
+    plus a host-side head upload. Here the base tree and each (tiny, rank-r)
+    adapter are resident once and every variant is ONE program execution;
+    combos of equal size share a compiled program because the scales are
+    closed-over constants of the config tuple (reference hot loop:
+    eval_compose.py:275-433 rebuilds a torch model per variant)."""
+    base_d = jax.device_put(base_params)
+    ads_d = {
+        name: (jax.device_put(ad), cfg,
+               None if head is None else jax.device_put(
+                   {"w": np.asarray(head["w"]), "b": np.asarray(head["b"])}))
+        for name, (ad, cfg, head) in adapters.items()
+    }
+    compiled: dict = {}
+
+    def build(combo: Sequence[str]):
+        if not combo:
+            return base_d
+        cfgs = tuple(ads_d[a][1] for a in combo)
+        head_src = next((a for a in reversed(combo)
+                         if ads_d[a][2] is not None), None)
+        key = (cfgs, head_src is not None)
+        if key not in compiled:
+            def merge_fn(base, ads, head, cfgs=cfgs):
+                p = lora.merge_many(base, ads, cfgs)
+                if head is not None:
+                    p = dict(p)
+                    p["head"] = head
+                return p
+            compiled[key] = jax.jit(merge_fn)
+        return compiled[key](base_d, [ads_d[a][0] for a in combo],
+                             None if head_src is None else ads_d[head_src][2])
+
+    return build
+
+
 def run_composability_eval(
     entry: ModelEntry,
     base_params,
@@ -126,6 +168,7 @@ def run_composability_eval(
     normalize: Optional[Normalizer] = None,
     out_path: Optional[str] = None,
     cfg=None,
+    device_merge: bool = True,
     log: Callable[[str], None] = print,
 ) -> dict:
     """The full matrix: every variant × every dataset.
@@ -139,14 +182,23 @@ def run_composability_eval(
     eval_step = make_eval_step(lambda p, x: entry.apply(cfg, p, x),
                                num_classes, normalize=normalize)
     # each dataset is consumed once per variant — decode it once and replay
-    # from host RAM (pass-through for shuffled/oversized loaders)
-    dataloaders = {k: v if isinstance(v, CachedLoader) else CachedLoader(v)
+    # from host RAM (pass-through for shuffled/oversized loaders and for
+    # already-replayable loaders, e.g. in-memory benchmark feeds)
+    dataloaders = {k: CachedLoader(v) if isinstance(v, Loader) else v
                    for k, v in dataloaders.items()}
+
+    # device-built variants need explicit placement; under a mesh the eval
+    # step owns placement/sharding, so keep the host merge + device_put path
+    builder = (make_device_variant_builder(base_params, adapters)
+               if device_merge and mesh is None else None)
 
     results: dict[str, dict] = {}
     for name, combo in enumerate_variants(tuple(adapters), test_mode=test_mode):
-        params = build_variant_params(base_params, combo, adapters)
-        params = jax.device_put(params)
+        if builder is not None:
+            params = builder(combo)
+        else:
+            params = build_variant_params(base_params, combo, adapters)
+            params = jax.device_put(params)
         results[name] = {}
         for ds_name, loader in dataloaders.items():
             m = evaluate(eval_step, params, loader, mesh=mesh)

@@ -147,3 +147,34 @@ def test_enumerate_variants_modes():
     assert [n for n, _ in compose.enumerate_variants(attacks, test_mode="base_only")] == ["base"]
     indiv = compose.enumerate_variants(attacks, test_mode="individual_only")
     assert all(len(c) == 1 for _, c in indiv)
+
+
+def test_device_variant_builder_matches_host_merge():
+    """make_device_variant_builder (jitted on-device ΔW sum + head swap) must
+    produce the same merged weights as the eager host path for every combo
+    shape: empty, single, multi, and with/without per-adapter heads."""
+    entry = registry.get_model("vit_test")
+    cfg = entry.config(5)
+    params = jax.device_get(entry.init(jax.random.key(0), cfg))
+    lcfg = lora.LoRAConfig(rank=4, alpha=16.0,
+                           targets=entry.lora_targets(cfg))
+    adapters = {}
+    for i, name in enumerate(("fgsm", "pgd", "patch")):
+        ad = lora.init(jax.random.key(3 + i), params, lcfg)
+        ad = jax.tree.map(lambda a, i=i: a + 0.05 * (i + 1), ad)
+        head = (None if name == "patch" else
+                {"w": np.asarray(params["head"]["w"]) * (1.0 + 0.1 * i),
+                 "b": np.asarray(params["head"]["b"]) + i})
+        adapters[name] = (jax.device_get(ad), lcfg, head)
+
+    builder = compose.make_device_variant_builder(params, adapters)
+    for _, combo in compose.enumerate_variants(tuple(adapters)):
+        want = compose.build_variant_params(params, combo, adapters)
+        got = jax.device_get(builder(combo))
+        flat_w = jax.tree_util.tree_leaves_with_path(want)
+        flat_g = jax.tree_util.tree_leaves_with_path(got)
+        assert [p for p, _ in flat_w] == [p for p, _ in flat_g]
+        for (path, w), (_, g) in zip(flat_w, flat_g):
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(g), rtol=1e-6, atol=1e-6,
+                err_msg=f"combo={combo} leaf={path}")

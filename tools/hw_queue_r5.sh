@@ -10,7 +10,9 @@ START=${1:-1}
 STOP=${2:-99}
 
 probe() {
-  timeout -k 10 120 python -c "
+  # cold compile of even a tiny program through the tunnel is ~100 s; a 120 s
+  # bound parked the queue on a healthy backend twice (19:22 + 19:26)
+  timeout -k 10 240 python -c "
 import jax, jax.numpy as jnp
 assert float(jax.jit(lambda a:(a@a).sum())(jnp.ones((128,128)))) == 128.0**3
 print('probe-ok')" >/dev/null 2>&1
