@@ -30,9 +30,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STAGE_TIMEOUT_S = float(os.environ.get("APVT_STAGE_TIMEOUT", "3600"))
 STAGE_ATTEMPTS = int(os.environ.get("APVT_STAGE_ATTEMPTS", "2"))
 PLATFORM = "default"  # set from --platform; forwarded to every CLI stage
+RESUME = False  # set from --resume
 
 
-def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
+def run_stage(name: str, cli_args: list[str], stages: list[dict],
+              done_marker: str | None = None) -> None:
     """One pipeline stage in a fresh subprocess, with a timeout and a retry.
 
     The remote TPU backend is stateful: a client whose session wedges (e.g.
@@ -40,7 +42,18 @@ def run_stage(name: str, cli_args: list[str], stages: list[dict]) -> None:
     a FRESH process works fine — the same failure mode that cost round 2 its
     bench artifact (bench.py docstring). Bound each stage and retry once in
     a new process before declaring the pipeline dead.
+
+    With --resume, a stage whose `done_marker` path already exists is skipped
+    (recorded as {"resumed": true, "seconds": null}) — used to pick a run back
+    up after a host interruption without repaying synth-data/train wall. Only
+    stages with a reliable completion marker (metadata file, checkpoint) are
+    resumable; attack/eval stages always rerun, overwriting partial output.
     """
+    if RESUME and done_marker and os.path.exists(done_marker):
+        print(f"=== {name}: resumed (marker {done_marker} exists)", flush=True)
+        stages.append({"stage": name, "seconds": None, "rc": 0,
+                       "resumed": True})
+        return
     for attempt in range(1, STAGE_ATTEMPTS + 1):
         t0 = time.perf_counter()
         try:
@@ -97,9 +110,13 @@ def main() -> None:
                     default="default",
                     help="forwarded to every CLI stage — 'cpu' makes --quick "
                          "runnable on hosts whose TPU is unreachable")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip synth-data/train when their outputs already "
+                         "exist in --workdir (post-interruption pickup)")
     args = ap.parse_args()
-    global PLATFORM
+    global PLATFORM, RESUME
     PLATFORM = args.platform
+    RESUME = args.resume
 
     d = args.workdir
     os.makedirs(d, exist_ok=True)
@@ -126,11 +143,13 @@ def main() -> None:
     run_stage("synth-data", ["synth-data", "--output_dir", data,
                              "--n_per_class", str(args.n_per_class),
                              "--image_size", str(image_size),
-                             "--style", args.style], stages)
+                             "--style", args.style], stages,
+              done_marker=os.path.join(data, "test", "metadata.csv"))
     run_stage("train", ["train", "--data_root", data, "--model", args.model,
                         "--output_dir", os.path.join(d, "train"),
                         "--epochs", str(args.epochs), "--batch_size", "32"]
-              + (["--resize", "32"] if args.quick else []), stages)
+              + (["--resize", "32"] if args.quick else []), stages,
+              done_marker=ck)
     common = ["--data_root", data, "--model", args.model,
               "--model_path", ck, "--output_dir", adv]
     run_stage("attack-whitebox", ["attack", *common,
@@ -188,7 +207,8 @@ def main() -> None:
                    "aa_iters": args.aa_iters,
                    "aa_queries": args.aa_queries,
                    "lora_epochs": args.lora_epochs,
-                   "attack_families": families},
+                   "attack_families": families,
+                   **({"resumed": True} if args.resume else {})},
         "stages": stages,
         "total_seconds": round(time.perf_counter() - t_total, 1),
         "matrix": matrix,
