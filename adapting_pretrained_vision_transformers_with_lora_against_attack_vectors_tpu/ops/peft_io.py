@@ -138,9 +138,19 @@ def save_peft_adapter(adapter: Mapping, cfg: LoRAConfig, out_dir: str, *,
             tensors[f"base_model.model.{mod}.lora_A.weight"] = a[i].T
             tensors[f"base_model.model.{mod}.lora_B.weight"] = b[i].T
     if head is not None:
-        tensors["base_model.model.classifier.weight"] = np.asarray(
-            head["w"], np.float32).T
-        tensors["base_model.model.classifier.bias"] = np.asarray(head["b"], np.float32)
+        if "w" in head:
+            tensors["base_model.model.classifier.weight"] = np.asarray(
+                head["w"], np.float32).T
+            tensors["base_model.model.classifier.bias"] = np.asarray(
+                head["b"], np.float32)
+        else:
+            # Non-linear classifier head (yolo11-cls: conv -> pool -> linear,
+            # models/yolo11.py `head`): PEFT has no module naming for it, so
+            # persist the full head tree under framework-native keys that
+            # load_peft_adapter reconstructs (same rationale as the
+            # `framework.` adapter-factor branch above).
+            for path, leaf in _flatten_tree(head):
+                tensors[f"framework_head.{path}"] = np.asarray(leaf, np.float32)
     # C-contiguity before safetensors: it writes raw buffers assuming C
     # order, silently transposing F-strided device_get results (see
     # utils/checkpoint._atomic_save_file)
@@ -216,6 +226,10 @@ def load_peft_adapter(adapter_dir: str, *, depth: Optional[int] = None
                      dropout=float(config.get("lora_dropout", 0.0)))
 
     head = None
+    fh = {k[len("framework_head."):]: np.asarray(v)
+          for k, v in tensors.items() if k.startswith("framework_head.")}
+    if fh:
+        return adapter, cfg, _unflatten_tree(fh)
     for w_key in ("base_model.model.classifier.weight",
                   "base_model.model.classifier.modules_to_save.default.weight"):
         if w_key in tensors:
@@ -224,6 +238,28 @@ def load_peft_adapter(adapter_dir: str, *, depth: Optional[int] = None
                     "b": np.asarray(tensors[b_key])}
             break
     return adapter, cfg, head
+
+
+def _flatten_tree(tree: Mapping, prefix: str = ""):
+    """Yield (slash-path, leaf) for a nested dict-of-arrays head tree."""
+    for k in sorted(tree):
+        v = tree[k]
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            yield from _flatten_tree(v, p)
+        else:
+            yield p, v
+
+
+def _unflatten_tree(flat: Mapping[str, np.ndarray]) -> dict:
+    out: dict = {}
+    for path, arr in flat.items():
+        *parts, last = path.split("/")
+        cur = out
+        for part in parts:
+            cur = cur.setdefault(part, {})
+        cur[last] = arr
+    return out
 
 
 def _read_adapter_tensors(adapter_dir: str) -> dict[str, np.ndarray]:

@@ -86,6 +86,28 @@ def test_peft_round_trip(tmp_path):
                                    loaded[path]["b"], atol=1e-6)
 
 
+def test_peft_round_trip_nested_head(tmp_path):
+    """Non-linear classifier heads (yolo11-cls conv->pool->linear,
+    models/yolo11.py) round-trip through the framework_head.* keys —
+    regression for the round-5 yolo11 pipeline failure (save assumed a
+    flat {'w','b'} linear head)."""
+    _, adapter, cfg = _make_adapter()
+    head = {"conv": {"w": np.arange(12, dtype=np.float32).reshape(1, 1, 3, 4),
+                     "bn": {"scale": np.ones(4, np.float32),
+                            "bias": np.zeros(4, np.float32)}},
+            "linear": {"w": np.full((4, 5), 2.0, np.float32),
+                       "b": np.zeros(5, np.float32)}}
+    peft_io.save_peft_adapter(adapter, cfg, str(tmp_path / "ad"), head=head)
+    loaded, loaded_cfg, lhead = peft_io.load_peft_adapter(str(tmp_path / "ad"))
+    assert loaded_cfg.rank == cfg.rank
+    assert set(loaded) == set(adapter)
+    flat_in = dict(peft_io._flatten_tree(head))
+    flat_out = dict(peft_io._flatten_tree(lhead))
+    assert set(flat_in) == set(flat_out)
+    for k in flat_in:
+        np.testing.assert_array_equal(flat_in[k], flat_out[k])
+
+
 def test_peft_library_reads_our_adapters(hf_model, tmp_path):
     """HF PEFT must accept adapters written by save_peft_adapter, and the
     merged torch model must match our functional merge."""

@@ -148,7 +148,7 @@ def main() -> None:
     run_stage("train", ["train", "--data_root", data, "--model", args.model,
                         "--output_dir", os.path.join(d, "train"),
                         "--epochs", str(args.epochs), "--batch_size", "32"]
-              + (["--resize", "32"] if args.quick else []), stages,
+              + (["--resize", str(image_size)] if args.quick else []), stages,
               done_marker=ck)
     common = ["--data_root", data, "--model", args.model,
               "--model_path", ck, "--output_dir", adv]
