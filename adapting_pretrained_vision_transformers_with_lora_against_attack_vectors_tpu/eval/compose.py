@@ -76,8 +76,8 @@ def build_variant_params(base_params, combo: Sequence[str],
         head = adapters[a][2]
         if head is not None:
             params = dict(params)
-            params["head"] = {"w": np.asarray(head["w"]),
-                              "b": np.asarray(head["b"])}
+            # arbitrary head tree (flat linear {w,b} or yolo11-cls nested)
+            params["head"] = jax.tree.map(np.asarray, head)
             break
     return params
 
@@ -129,8 +129,10 @@ def make_device_variant_builder(base_params, adapters: Mapping[str, tuple]):
     base_d = jax.device_put(base_params)
     ads_d = {
         name: (jax.device_put(ad), cfg,
+               # head is an arbitrary tree — flat {w,b} for linear heads,
+               # nested conv->linear for yolo11-cls (peft_io framework_head)
                None if head is None else jax.device_put(
-                   {"w": np.asarray(head["w"]), "b": np.asarray(head["b"])}))
+                   jax.tree.map(np.asarray, head)))
         for name, (ad, cfg, head) in adapters.items()
     }
     compiled: dict = {}
