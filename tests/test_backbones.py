@@ -285,6 +285,41 @@ def test_backbone_end_to_end_slice(name, tmp_path):
 
 
 @pytest.mark.parametrize("name", TEST_MODELS)
+def test_peft_head_compose_all_backbones(name, tmp_path):
+    """peft_io save-with-head -> load -> device variant builder -> forward,
+    for every backbone family. Regression for the round-5 yolo11 pipeline
+    failure: save_peft_adapter and eval/compose both assumed a flat {'w','b'}
+    linear head, crashing on yolo11-cls's conv->pool->linear head tree."""
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.eval import compose
+    from adapting_pretrained_vision_transformers_with_lora_against_attack_vectors_tpu.ops import peft_io
+
+    entry = registry.get_model(name)
+    cfg = entry.config(3)
+    params = entry.init(jax.random.key(0), cfg)
+    lcfg = lora.LoRAConfig(rank=2, alpha=4.0, targets=entry.lora_targets(cfg))
+    adapter = lora.init(jax.random.key(1), params, lcfg)
+    adapter = jax.tree.map(lambda x: x + 0.01, adapter)
+
+    out = str(tmp_path / "ad")
+    peft_io.save_peft_adapter(adapter, lcfg, out, head=params["head"],
+                              base_model_name=name)
+    loaded = peft_io.load_peft_adapter(out)
+    assert loaded[2] is not None  # head round-tripped
+
+    builder = compose.make_device_variant_builder(params, {"atk": loaded})
+    merged = builder(("atk",))
+    x = jax.random.uniform(jax.random.key(2),
+                           (2, cfg.image_size, cfg.image_size, 3))
+    o = entry.apply(cfg, merged, x)
+    assert o.shape == (2, 3) and bool(jnp.isfinite(o).all())
+    # merged-on-device == host merge + saved head
+    ref = compose.build_variant_params(params, ("atk",), {"atk": loaded})
+    o2 = entry.apply(cfg, ref, x)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o2), atol=5e-4,
+                               rtol=1e-3)
+
+
+@pytest.mark.parametrize("name", TEST_MODELS)
 def test_checkpoint_round_trip_all_backbones(name, tmp_path):
     """save_pytree/load_pytree must reproduce a tree that apply() accepts for
     every backbone (review finding: dict-only unflatten corrupted
