@@ -45,9 +45,11 @@ def run_stage(name: str, cli_args: list[str], stages: list[dict],
 
     With --resume, a stage whose `done_marker` path already exists is skipped
     (recorded as {"resumed": true, "seconds": null}) — used to pick a run back
-    up after a host interruption without repaying synth-data/train wall. Only
-    stages with a reliable completion marker (metadata file, checkpoint) are
-    resumable; attack/eval stages always rerun, overwriting partial output.
+    up after a host interruption without repaying synth-data/train wall.
+    Attack stages use their LAST-written artifact as the marker (splits run
+    train→val→test and metadata.csv lands after the split's images, so
+    test/<attack>/metadata.csv only exists once the stage finished);
+    eval-compose always reruns — it is cheap and produces the matrix.
     """
     if RESUME and done_marker and os.path.exists(done_marker):
         print(f"=== {name}: resumed (marker {done_marker} exists)", flush=True)
@@ -111,8 +113,9 @@ def main() -> None:
                     help="forwarded to every CLI stage — 'cpu' makes --quick "
                          "runnable on hosts whose TPU is unreachable")
     ap.add_argument("--resume", action="store_true",
-                    help="skip synth-data/train when their outputs already "
-                         "exist in --workdir (post-interruption pickup)")
+                    help="skip stages whose completion marker already exists "
+                         "in --workdir (post-interruption pickup); "
+                         "eval-compose always reruns")
     args = ap.parse_args()
     global PLATFORM, RESUME
     PLATFORM = args.platform
@@ -152,16 +155,21 @@ def main() -> None:
               done_marker=ck)
     common = ["--data_root", data, "--model", args.model,
               "--model_path", ck, "--output_dir", adv]
+    # last-written artifact per attack stage (see run_stage docstring)
+    adv_test = os.path.join(adv, args.model, "all", "test")
     run_stage("attack-whitebox", ["attack", *common,
                                   "--splits", "train", "val", "test",
                                   "--epsilon", str(args.epsilon),
                                   "--steps", str(args.pgd_steps),
-                                  "--batch_size", "64"], stages)
+                                  "--batch_size", "64"], stages,
+              done_marker=os.path.join(adv_test, "pgd", "metadata.csv"))
     run_stage("attack-patch", ["patch-attack", *common,
                                "--splits", "train", "val", "test",
                                "--patch_type", "circle",
                                "--max_iter", str(args.patch_iters),
-                               "--batch_size", "24"], stages)
+                               "--batch_size", "24"], stages,
+              done_marker=os.path.join(adv_test, "patch_circle",
+                                       "metadata.csv"))
     aa_stats_path = os.path.join(d, "aa_stats.json")
     run_stage("attack-autoattack", ["autoattack", *common,
                                     "--splits", "train", "val", "test",
@@ -169,7 +177,9 @@ def main() -> None:
                                     "--n_iter", str(args.aa_iters),
                                     "--square_queries", str(args.aa_queries),
                                     "--stats_json", aa_stats_path,
-                                    "--batch_size", "64"], stages)
+                                    "--batch_size", "64"], stages,
+              done_marker=os.path.join(adv_test, "autoattack",
+                                       "metadata.csv"))
     # RP2 = fifth family (BASELINE.json config 5; reference rp2_attack.py
     # intent). Patches train once on the train split (physical-sticker
     # semantics) and apply to all three splits.
@@ -178,14 +188,16 @@ def main() -> None:
                              "--patch_train_split", "train",
                              "--patch_size", str(args.rp2_patch_size),
                              "--max_iter", str(args.rp2_iters),
-                             "--batch_size", "24"], stages)
+                             "--batch_size", "24"], stages,
+              done_marker=os.path.join(adv_test, "rp2", "metadata.csv"))
     families = ["fgsm", "pgd", "patch_circle", "autoattack", "rp2"]
     run_stage("train-lora", ["train-lora", "--data_root", data,
                              "--model", args.model, "--model_path", ck,
                              "--adv_root", adv, "--output_dir", loras,
                              "--attacks", *families, "--ranks", "8",
                              "--epochs", str(args.lora_epochs),
-                             "--batch_size", "32"], stages)
+                             "--batch_size", "32"], stages,
+              done_marker=os.path.join(loras, "global_results.json"))
     run_stage("eval-compose", ["eval-compose", "--data_root", data,
                                "--model", args.model, "--model_path", ck,
                                "--adv_root", adv, "--lora_root", loras,
